@@ -1,0 +1,67 @@
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is measured with the noop sink (full plan runs on executors,
+nothing collects to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import mle_proj_datapipeline_spark.plans.relational  # noqa: F401
+import mle_proj_datapipeline_spark.plans.pipeline_queries  # noqa: F401
+from mle_proj_datapipeline_spark.plans.registry import QUERIES
+from mle_proj_datapipeline_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "forecast_revenue",
+    "top_revenue_orders",
+    "nation_revenue",
+    "segment_order_stats",
+    "top_supplier_per_nation_week",
+    "user_sessions",
+    "asof_purchase_click",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # Warm up the JVM/codegen path once so timings measure the plans.
+    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Join extensions: as-of (temporal) join and range-join helpers.
+
+The reference never joins across time explicitly — its "as-of" semantics
+are by construction (features and labels pre-partitioned by week, joined
+on equal partition keys; SURVEY.md §2.E4, utils/dag_functions.py:554-578).
+The engine generalizes this to a true as-of join.
+
+Implementation choice: the union + ordered-window trick, NOT a range
+cross-join. One shuffle on the equality keys, one in-partition sort —
+this survives 100 TB because cost is O(n log n) per key-partition with no
+row multiplication. (A range-condition join would degrade to
+BroadcastNestedLoopJoin or explode row counts.)
+
+Skew note: a hot equality key concentrates one window partition; AQE does
+not split window skew — pre-salt the key and as-of within salt buckets if
+a single key exceeds an executor's partition budget.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """For each left row, attach the payload of the closest right row at
+    or before (``backward``) / at or after (``forward``) its timestamp,
+    per equality-key group.
+
+    ``right``'s non-key, non-ts columns become the payload and must not
+    collide with left column names (rename before calling). Ties among
+    right rows with identical timestamps resolve by their sort order —
+    add a tiebreak column to ``right_ts`` ordering via a composite column
+    if full determinism across equal timestamps is required.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    # Tag order controls exact-match inclusion: for backward, right rows
+    # sort before left at equal ts iff exact matches are allowed.
+    right_first = allow_exact_matches if direction == "backward" else not allow_exact_matches
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if right_first else 2).alias("__tag"),
+        *payload,
+    )
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    base = Window.partitionBy(*on).orderBy("__ts", "__tag")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        picked = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in payload}
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        picked = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in payload}
+
+    return (
+        unioned.withColumns(picked)
+        .filter(F.col("__tag") == 1)
+        .drop("__ts", "__tag")
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join via bucketing: both sides emit integer
+    buckets of width ``bucket_width``; intervals explode to the buckets
+    they span; the join becomes an equi-join on (keys…, bucket) followed
+    by the exact range filter.
+
+    Turns an O(n·m) nested-loop range join into a shuffled hash join —
+    the standard trick when Spark lacks a native band join. Choose
+    ``bucket_width`` near the typical interval length so each interval
+    spans O(1) buckets.
+    """
+    on = on or []
+    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    joined = lb.join(rb, on + ["__bucket"])
+    return joined.filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
+    ).drop("__bucket")

@@ -1,0 +1,304 @@
+"""Pipeline-semantics queries: imputation (SURVEY §2.C), scalar-function
+families (§2.I), JSON extraction (§2.I5), weekly/tumbling windows and
+sessionization (§2.K batch-equivalents), and the as-of join (§2.E4).
+
+The testdata has no NULLs, so imputation queries synthesize them
+deterministically (nullif / CASE) in BOTH engines before exercising the
+engine's impute operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mle_proj_datapipeline_spark.operators.impute import (
+    ImputeSpec,
+    compute_means,
+    impute,
+)
+from mle_proj_datapipeline_spark.operators.joins import asof_join
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# C2: mode imputation, single-pass, deterministic ties (count DESC, value ASC)
+# --------------------------------------------------------------------------
+@register(
+    "impute_mode_lang",
+    oracle="""
+    WITH d AS (SELECT nullif(lang, 'zh') AS lang_n FROM documents),
+    m AS (SELECT lang_n AS v FROM d WHERE lang_n IS NOT NULL
+          GROUP BY lang_n ORDER BY count(*) DESC, lang_n ASC LIMIT 1)
+    SELECT coalesce(lang_n, (SELECT v FROM m)) AS lang_imputed, count(*) AS n
+    FROM d GROUP BY 1
+    """,
+)
+def impute_mode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode fill via the engine's single-shuffle melt (operators/impute.py)
+    — vs the reference's per-column groupBy loop
+    (utils/silver_credit_history.py:31-37)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.nullif(F.col("lang"), F.lit("zh")).alias("lang_n")
+    )
+    filled = impute(d, ImputeSpec(mode_cols=["lang_n"]))
+    return filled.groupBy(F.col("lang_n").alias("lang_imputed")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# C3+C4: mean imputation + missing-indicator flags
+# --------------------------------------------------------------------------
+@register(
+    "impute_mean_acctbal",
+    oracle="""
+    WITH d AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_n
+        FROM customer),
+    f AS (
+        SELECT c_mktsegment,
+               CASE WHEN bal_n IS NULL THEN 1 ELSE 0 END AS bal_missing,
+               coalesce(bal_n,
+                        (SELECT floor(avg(bal_n) * 100 + 0.5) / 100 FROM d)) AS bal_filled
+        FROM d)
+    SELECT c_mktsegment AS segment,
+           sum(bal_missing)                        AS n_missing,
+           round(sum(bal_filled), 2) / count(*)    AS avg_bal
+    FROM f GROUP BY c_mktsegment
+    """,
+)
+def impute_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean fill + {col}_missing flag (utils/silver_financial.py:14-21),
+    one agg job for the mean, one projection for flag+fill."""
+    d = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal_n"),
+    )
+    import math
+
+    mean = compute_means(d, ["bal_n"])["bal_n"]
+    fill = math.floor(mean * 100 + 0.5) / 100  # deterministic 2-dec rounding
+    filled = impute(d, ImputeSpec(constants={"bal_n": fill}, flag_cols=["bal_n"]))
+    return filled.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.sum("bal_n_missing").alias("n_missing"),
+        (F.round(F.sum("bal_n"), 2) / F.count(F.lit(1))).alias("avg_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# I1: string functions (trim/upper/contains/length — silver_demographic.py:19,
+# gold_feature_store.py:107) without dialect-sensitive regex
+# --------------------------------------------------------------------------
+@register(
+    "doc_string_profile",
+    oracle="""
+    SELECT upper(substr(source, 1, 3)) AS src_prefix,
+           count(*) AS n_docs,
+           sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS n_spark_docs,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS DOUBLE) / count(*) AS avg_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    return (
+        d.groupBy(F.upper(F.substring("source", 1, 3)).alias("src_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("text").contains("spark").cast("long")).alias("n_spark_docs"),
+            (F.sum(tokens).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# I5: JSON extraction (reference stores JSONB maps,
+# utils/model_inference_utils.py:114-115)
+# --------------------------------------------------------------------------
+@register(
+    "json_event_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# I2: date part extraction / calendar bucketing (to_date/trunc/months —
+# silver_credit_history.py:22, gold_feature_store.py:65-73)
+# --------------------------------------------------------------------------
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)    AS yr,
+           CAST(month(o_orderdate) AS INT)   AS mth,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mth"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month_end"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K: tumbling window over event time (batch equivalent of the weekly
+# micro-batch, utils/process_bronze_tables.py:50-69)
+# --------------------------------------------------------------------------
+@register(
+    "hourly_event_stats",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling agg — identical code runs under Structured
+    Streaming with a watermark (streaming/ module)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K: gap-based sessionization (session_window batch equivalent)
+# --------------------------------------------------------------------------
+@register(
+    "user_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f),
+    g AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               date_diff('second', min(ts), max(ts)) AS dur_secs
+        FROM s GROUP BY user_id, session_id)
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_session_events,
+           CAST(sum(dur_secs) AS DOUBLE) / count(*) AS avg_session_secs
+    FROM g GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions via lag + cumulative flag-sum — the batch twin
+    of Structured Streaming's session_window. Single shuffle on user_id;
+    both windows and the first groupBy reuse that clustering."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    secs = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    sessions = (
+        e.withColumn(
+            "is_new",
+            F.when(secs.isNull() | (secs > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("is_new").over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("dur_secs"),
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("avg_session_events"),
+        (F.sum("dur_secs").cast("double") / F.count(F.lit(1))).alias("avg_session_secs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E4: as-of join (temporal alignment generalized)
+# --------------------------------------------------------------------------
+@register(
+    "asof_purchase_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id AS user_id,
+           count(*) AS n_purchases,
+           count(c.click_ts) AS n_matched,
+           CAST(sum(date_diff('second', c.click_ts, p.ts)) AS DOUBLE) / count(c.click_ts) AS avg_gap_secs
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    GROUP BY p.user_id
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine as-of join (operators/joins.py union+window plan) vs
+    DuckDB's native ASOF JOIN as the oracle: for each purchase, the most
+    recent prior click by the same user."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("ts").alias("click_payload_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts"
+    )
+    gap = F.col("ts").cast("long") - F.col("click_payload_ts").cast("long")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_payload_ts").alias("n_matched"),
+        (F.sum(gap).cast("double") / F.count("click_payload_ts")).alias("avg_gap_secs"),
+    )

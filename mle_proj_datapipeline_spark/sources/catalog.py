@@ -1,0 +1,59 @@
+"""Table catalog over a scale-factor directory of parquet tables.
+
+Replaces the reference's filename-encoded partition discovery
+(reference: utils/weekly_evaluation.py:343-375 enumerates
+``*_week_YYYY_MM_DD`` dirs by regex; utils/model_operations.py:29-35
+hand-builds 50 paths). Spark's catalog + Hive partitioning does this
+natively; here the testdata is one parquet per table, so the catalog is a
+thin loader + view registrar.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown reach the
+    parquet reader automatically because we return the lazy scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    (PARQUET_TYPE_ILLEGAL); we read nanos as long and convert to a
+    microsecond timestamp with exact integer division (`div`, not `/` —
+    double division loses precision above 2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so the Spark SQL surface works over the same
+    tables the DuckDB oracle sees."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
