@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import mle_proj_datapipeline_spark.plans.relational  # noqa: F401
 import mle_proj_datapipeline_spark.plans.pipeline_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.llm_queries  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import QUERIES
 from mle_proj_datapipeline_spark.session import get_spark
 
@@ -30,6 +31,11 @@ HEADLINE = [
     "top_supplier_per_nation_week",
     "user_sessions",
     "asof_purchase_click",
+    "minhash_lsh_neardups",
+    "simhash_neardups",
+    "ann_cosine_topk",
+    "ann_lsh_top1",
+    "doc_quality_by_lang",
 ]
 
 

@@ -1,0 +1,277 @@
+"""Deduplication operator family for large-scale training-data pipelines:
+exact (content-hash), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+
+All hashing is built from one cross-engine-deterministic primitive —
+``H31(s) = int(md5(s)[:15 hex], 16) % (2^31-1)`` — computable identically
+in Spark (conv/substring/md5), DuckDB (hex-literal cast), and Python
+(hashlib), so every dedup query has an exact SQL oracle.
+
+Everything runs JVM-side through built-in higher-order functions
+(transform/aggregate/slice) — no Python UDFs, no driver materialization.
+
+Scale design (100 TB):
+- Shingling + signatures are narrow per-row map work (no shuffle).
+- LSH banding turns the quadratic all-pairs problem into an equi-join on
+  (band_idx, band_key): one shuffle, AQE-skew-splittable. Candidate
+  verification touches only same-bucket pairs.
+- Exact dedup is a keyed window (single shuffle on the content hash),
+  never a full-row ``distinct()`` (reference anti-pattern SURVEY §4.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from mle_proj_datapipeline_spark.session import ensure_parallelism
+
+P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: modmul products stay < 2^62
+
+# MinHash family h_i(x) = (A[i]*x + B[i]) mod P31 — fixed odd multipliers /
+# offsets, embedded verbatim in the SQL oracles. 16 hashes = 4 bands × 4 rows
+# → LSH S-curve threshold (1/4)^(1/4) ≈ 0.71.
+NUM_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = NUM_HASHES // LSH_BANDS
+MINHASH_A = [2 * i + 3 for i in range(1, NUM_HASHES + 1)]
+MINHASH_B = [7919 * i + 104729 for i in range(NUM_HASHES)]
+
+# SimHash geometry: the md5-derived token hash carries 60 usable bits
+# (15 hex digits), split into 4 blocks of 15 bits for pigeonhole candidate
+# generation (guarantees recall for hamming ≤ 3).
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = 15
+
+
+def h31_py(s: str) -> int:
+    """Python twin of the Spark/DuckDB H31 hash (for plane generation)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P31
+
+
+def h31(c: Column | str) -> Column:
+    """31-bit md5-derived hash, identical across Spark/DuckDB/Python."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(P31)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams. 1-based slice matches DuckDB list_slice."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingles_col: str) -> Column:
+    """Length-NUM_HASHES signature: min_i over hashed shingles.
+
+    A single fold over the shingle array computes every permutation's
+    running minimum — each shingle is md5-hashed exactly once. (Building
+    the signature as NUM_HASHES separate array_min expressions would let
+    Catalyst's CollapseProject inline and re-hash the array per
+    permutation.) Takes a column NAME."""
+    a_arr = "array(" + ",".join(f"{a}L" for a in MINHASH_A) + ")"
+    b_arr = "array(" + ",".join(f"{b}L" for b in MINHASH_B) + ")"
+    hs = (
+        f"transform({shingles_col}, "
+        f"s -> cast(conv(substring(md5(s),1,15),16,10) as bigint) % {P31})"
+    )
+    return F.expr(
+        f"aggregate({hs}, array_repeat(cast({P31} as bigint), {NUM_HASHES}), "
+        f"(acc, x) -> transform(sequence(0, {NUM_HASHES - 1}), "
+        f"i -> least(element_at(acc, i+1), "
+        f"(element_at({a_arr}, i+1) * x + element_at({b_arr}, i+1)) % {P31})))"
+    )
+
+
+def lsh_band_keys(shingles_col: str) -> Column:
+    """Array of LSH_BANDS (band_idx, band_key) structs for explode+join.
+
+    The signature is bound ONCE via a single-element-array fold — slicing
+    a signature subexpression per band would recompute it per band."""
+    sig = minhash_signature(shingles_col)
+
+    def bands_from(g: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(g, b * LSH_ROWS + 1, LSH_ROWS), lambda v: v.cast("string")
+                        ),
+                        "_",
+                    ).alias("band_key"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+
+    return F.aggregate(
+        F.array(sig),
+        F.expr("cast(null as array<struct<band_idx:int,band_key:string>>)"),
+        lambda acc, g: bands_from(g),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct-element arrays, double division parity."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def exact_dedup(df: DataFrame, content_col: str, order_cols: list[str]) -> DataFrame:
+    """Keep-first exact dedup: one shuffle keyed on md5(content), window
+    rank by ``order_cols`` — deterministic, unlike dropDuplicates."""
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(*[F.asc(c) for c in order_cols])
+    return df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    shingle → signature → band explode → equi-self-join on
+    (band_idx, band_key) *carrying ids only* → distinct candidate pairs →
+    join back to the shingle table → exact Jaccard verification. Keeping
+    the (large) shingle arrays out of the band join/distinct shuffles is
+    the difference between shuffling ids and shuffling the corpus.
+    """
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    banded = base.select(
+        "doc", F.explode(lsh_band_keys("sh")).alias("band")
+    ).select("doc", "band.band_idx", "band.band_key")
+
+    a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    x = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    y = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within blocks (default: first-k-token
+    prefix). Blocking keeps the self-join linear-ish; at 100 TB pick a
+    block key with bounded bucket sizes (prefix, length band, source).
+
+    The default block is computed from the raw token sequence, not the
+    distinct shingle array — distinct-array order is engine-specific."""
+    block = (
+        block_expr
+        if block_expr is not None
+        else F.array_join(F.slice(F.split(F.col(text_col), " "), 1, shingle_k), " ")
+    )
+    blocked = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        block.alias("blk"),
+    )
+    a = blocked.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
+    b = blocked.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint over word-token hashes (with multiplicity):
+    bit j = 1 iff Σ_tokens (±1 by bit j of H60(token)) > 0.
+
+    One md5 per token: a single fold accumulates the per-bit vote array
+    (vs. one fold per bit, which would re-hash every token ``bits``
+    times). Expressed as SQL because shiftright needs a lambda-variable
+    shift amount. Takes a column NAME."""
+    votes = (
+        "aggregate("
+        f"transform(split({text_col}, ' '), t -> cast(conv(substring(md5(t),1,15),16,10) as bigint)), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, x) -> transform(sequence(0, {bits - 1}), "
+        "j -> element_at(acc, j+1) + IF((shiftright(x, j) & 1) = 1, 1L, -1L)))"
+    )
+    # Bind the votes array ONCE via a 1-element-array fold — inlining it
+    # into the per-bit lambda would re-run the whole token fold per bit.
+    return F.expr(
+        f"aggregate(array({votes}), 0L, (acc, v) -> acc + "
+        f"aggregate(transform(sequence(0, {bits - 1}), "
+        "j -> IF(element_at(v, j+1) > 0, shiftleft(1L, j), 0L)), "
+        "0L, (a, b) -> a + b))"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via block LSH:
+    fingerprints within hamming d ≤ SIMHASH_BLOCKS-1 share at least one
+    of the 15-bit blocks (pigeonhole), so candidates = equi-join per
+    block. 15-bit keys (32k values) keep buckets sparse."""
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"), simhash(text_col).alias("fp")
+    )
+    blocks = base.select(
+        "doc",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk_idx"),
+                        F.shiftright(F.col("fp"), SIMHASH_BLOCK_BITS * k)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BLOCK_BITS) - 1))
+                        .alias("blk_key"),
+                    )
+                    for k in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc", "fp", "blk.blk_idx", "blk.blk_key")
+    a = blocks.select(F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "blk_idx", "blk_key")
+    b = blocks.select(F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"), "blk_idx", "blk_key")
+    return (
+        a.join(b, ["blk_idx", "blk_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+- Brute-force cosine top-k: exact, O(|Q|·|C|·dim) — the baseline, and
+  correct at any scale when |Q| is small (broadcast the queries).
+- LSH (random-hyperplane) bucketed top-k: sign-bit bucket per vector,
+  exact rerank within bucket — the 100 TB path (one shuffle on bucket id,
+  no cross join).
+
+All arithmetic is double-precision ordered folds over the array
+(zip_with + aggregate) so results are bit-identical to the DuckDB oracle
+(list_reduce with the same order). Hyperplanes are derived from the
+cross-engine H31 hash (operators/dedup.py), so both engines construct
+the same planes.
+
+No MLlib (per engine policy — MLlib LSH .fit() is batch-dependent, like
+the reference's per-batch StringIndexer anti-pattern SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from mle_proj_datapipeline_spark.operators.dedup import h31_py
+from mle_proj_datapipeline_spark.session import ensure_parallelism
+
+EMB_DIM = 64
+NUM_PLANES = 8  # 2^8 = 256 buckets
+
+
+def hyperplanes(num_planes: int = NUM_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random planes in [-1, 1], identical in any
+    engine that can compute H31 (md5-derived)."""
+    return [
+        [(h31_py(f"p{j}_{d}") % 2001 - 1000) / 1000.0 for d in range(dim)]
+        for j in range(num_planes)
+    ]
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Ordered double-precision fold — deterministic across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_double(a: Column) -> Column:
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (norm_double(a) * norm_double(b))
+
+
+def plane_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) >= 0."""
+    planes = planes or hyperplanes()
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        d = dot_double(vec, F.array(*[F.lit(v) for v in p]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k neighbors per query (cosine DESC, neighbor id ASC).
+
+    The query side is broadcast — at scale this is |C| passes of narrow
+    map work + a per-query top-k (TakeOrdered per group), no shuffle of
+    the candidate set."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def lsh_top1(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest neighbor per vector: exact cosine rerank within
+    the vector's hyperplane bucket. One shuffle (bucket equi-join); recall
+    < 1 by construction, deterministic by construction."""
+    base = ensure_parallelism(df.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        plane_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a = base.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "bucket")
+    b = base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "bucket", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,349 @@
+"""LLM-training-data pipeline queries: dedup family, similarity search,
+text analysis (north-star extensions; SURVEY.md §7 phase 6).
+
+Oracle SQL is *generated* from the same constants the Spark operators
+use (hash multipliers, LSH geometry, hyperplanes), so both engines build
+byte-identical hash families. See operators/dedup.py for the H31
+cross-engine hash primitive.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mle_proj_datapipeline_spark.operators import dedup as dd
+from mle_proj_datapipeline_spark.operators import similarity as sim
+from mle_proj_datapipeline_spark.operators import text as tx
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+P = dd.P31
+
+# ---- shared DuckDB SQL fragments (generated from module constants) -------
+
+# distinct word-3-gram shingles of `text` (matches operators/dedup.word_shingles)
+_SH = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' '))-2, 1)+1), "
+    "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))"
+)
+# H31 of an expression e
+def _h31(e: str) -> str:
+    return f"(('0x'||substr(md5({e}),1,15))::BIGINT % {P})"
+
+
+_SIG = (
+    "["
+    + ", ".join(
+        f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {P}))"
+        for a, b in zip(dd.MINHASH_A, dd.MINHASH_B)
+    )
+    + "]"
+)
+
+_JACCARD = (
+    "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(x.sh, y.sh)))"
+)
+
+# 60-bit SimHash over H60 token hashes (full 15-hex-digit md5 prefix, no
+# modulus) — matches operators/dedup.simhash bit-for-bit.
+_SIMHASH_FP = (
+    f"CAST(list_sum(list_transform(range(0, {dd.SIMHASH_BITS}), j -> "
+    "CASE WHEN list_sum(list_transform(hs, x -> "
+    "CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+    "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+)
+
+
+def _dot_planes_sql(vec: str = "embedding") -> list[str]:
+    """One double-fold dot product per hyperplane, same order as Spark."""
+    outs = []
+    for p in sim.hyperplanes():
+        lits = "[" + ", ".join(repr(v) for v in p) + "]"
+        outs.append(
+            f"list_reduce(list_transform(range(1, {sim.EMB_DIM + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i]), (acc, v) -> acc + v)"
+        )
+    return outs
+
+
+_BUCKET = (
+    "("
+    + " + ".join(
+        f"CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END"
+        for j, d in enumerate(_dot_planes_sql())
+    )
+    + ")"
+)
+
+_COSINE = (
+    "list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    " / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (acc, v) -> acc + v))"
+    " * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (acc, v) -> acc + v)))"
+)
+
+
+# --------------------------------------------------------------------------
+# Dedup: MinHash + LSH banding
+# --------------------------------------------------------------------------
+@register(
+    "minhash_lsh_neardups",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    h AS (SELECT doc_id, sh, list_transform(sh, s -> {_h31('s')}) AS hs FROM d),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
+    bands AS (
+        SELECT doc_id, t.b AS band_idx,
+               array_to_string(list_slice(sig, t.b*{dd.LSH_ROWS}+1, t.b*{dd.LSH_ROWS}+{dd.LSH_ROWS}), '_') AS band_key
+        FROM sig, range(0, {dd.LSH_BANDS}) t(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, {_JACCARD} AS jaccard
+    FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b
+    WHERE {_JACCARD} >= 0.5
+    """,
+)
+def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) candidate pairs, exact-Jaccard verified at
+    ≥0.5. The scale path for near-dedup at 100 TB: linear shingling, one
+    band-bucket shuffle, verification only within buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Dedup: blocked exact n-gram Jaccard
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_neardups",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SH} AS sh,
+               array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS b
+        FROM documents)
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, {_JACCARD} AS jaccard
+    FROM d x JOIN d y ON x.b = y.b AND x.doc_id < y.doc_id
+    WHERE {_JACCARD} >= 0.5
+    """,
+)
+def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard within first-shingle blocks — the
+    non-probabilistic sibling of MinHash LSH (lower recall, zero false
+    negatives within a block)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Dedup: SimHash with byte-block LSH
+# --------------------------------------------------------------------------
+@register(
+    "simhash_neardups",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              tok -> ('0x'||substr(md5(tok),1,15))::BIGINT) AS hs
+        FROM documents),
+    fp AS (SELECT doc_id, {_SIMHASH_FP} AS fp FROM t),
+    blocks AS (
+        SELECT doc_id, fp, k.b AS blk_idx,
+               (fp >> ({dd.SIMHASH_BLOCK_BITS}*k.b)) & {(1 << dd.SIMHASH_BLOCK_BITS) - 1} AS blk_key
+        FROM fp, range(0, {dd.SIMHASH_BLOCKS}) k(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a, b.doc_id AS id_b, b.fp AS fp_b
+        FROM blocks a JOIN blocks b
+          ON a.blk_idx = b.blk_idx AND a.blk_key = b.blk_key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2
+    """,
+)
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dups (hamming ≤ 2) with pigeonhole byte-block
+    candidate generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=2)
+
+
+# --------------------------------------------------------------------------
+# Dedup: exact keep-first on a content key
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_prefix",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS pfx
+        FROM documents)
+    SELECT min(doc_id) AS keep_id, count(*) AS group_sz
+    FROM d GROUP BY md5(pfx)
+    """,
+)
+def exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content hash (first-10-token prefix): keyed
+    group, min-id keep-first — one shuffle, no full-row distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    return (
+        docs.select("doc_id", F.md5(pfx).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_sz"))
+        .drop("h")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: document fingerprint (rolling hash) groups
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_transform(string_split(text, ' '), tok -> {_h31('tok')}) AS hs
+        FROM documents)
+    SELECT CAST(list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
+                            (acc, x) -> (acc * 31 + x) % {P}) AS BIGINT) AS fp,
+           count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM t GROUP BY 1
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial fingerprint per doc; grouping exposes
+    exact token-sequence duplicates. 500/5000 distinct fp values make
+    this a strong cross-engine hash-parity check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(tx.doc_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: language-ID heuristic (confusion vs labeled lang)
+# --------------------------------------------------------------------------
+_LANG_SCORES = {
+    lang: f"len(list_filter(string_split(text,' '), t -> t IN ({', '.join(repr(w) for w in ws)})))"
+    for lang, ws in sorted(tx.LANG_STOPWORDS.items())
+}
+_G = f"greatest({', '.join(_LANG_SCORES.values())})"
+_PRED = (
+    "CASE WHEN " + _G + " = 0 THEN 'und' "
+    + " ".join(f"WHEN {s} = {_G} THEN '{lang}'" for lang, s in _LANG_SCORES.items())
+    + " END"
+)
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT lang, {_PRED} AS lang_pred, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang column (confusion
+    counts). Ties resolve alphabetically; no hits → 'und'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: quality scoring profile
+# --------------------------------------------------------------------------
+@register(
+    "doc_quality_by_lang",
+    oracle="""
+    WITH q AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+                 / length(text) AS alpha_ratio,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_words
+        FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           sum(n_tokens)      AS total_tokens,
+           sum(n_alpha_words) AS total_alpha_words,
+           round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
+           CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) AS chars_per_token
+    FROM q GROUP BY lang
+    """,
+)
+def doc_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter features (length/token/char-class ratios) rolled up
+    per language — the shape of a pretraining quality gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = tx.quality_features(F.col("text"))
+    q = docs.select(
+        "lang",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        tx.word_count_regex(F.col("text")).alias("n_alpha_words"),
+    )
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_alpha_words").alias("total_alpha_words"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity: brute-force cosine top-k
+# --------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE.replace('a.embedding', 'q.embedding')} AS cosine
+        FROM q JOIN embeddings b ON q.vec_id != b.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for the first 50 vectors — the
+    brute-force baseline (broadcast queries, no candidate shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity: hyperplane-LSH bucketed top-1
+# --------------------------------------------------------------------------
+@register(
+    "ann_lsh_top1",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id, {_COSINE} AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    ranked AS (
+        SELECT query_id, bucket, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, bucket, neighbor_id, cosine FROM ranked WHERE rk = 1
+    """,
+)
+def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via 8 deterministic random-hyperplane sign bits
+    (256 buckets) + exact rerank within bucket — the 100 TB ANN path
+    (equi-join on bucket, no cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_top1(emb)

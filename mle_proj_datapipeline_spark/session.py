@@ -70,6 +70,20 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition iff the input has fewer partitions than the target.
+
+    Small single-file parquet scans (the local testdata) arrive as ONE
+    partition — compute-heavy narrow work (hashing, shingling, vector
+    folds) would then run on one core. At cluster scale inputs already
+    have ≥ target partitions, so this is a no-op (no gratuitous shuffle
+    of 100 TB)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine runtime confs to an externally-created session.
 
