@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import mle_proj_datapipeline_spark.plans.relational  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.pipeline_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.llm_queries  # noqa: F401,E402
+import mle_proj_datapipeline_spark.plans.feature_queries  # noqa: F401,E402
 from mle_proj_datapipeline_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 from mle_proj_datapipeline_spark.session import tune_session  # noqa: E402
 

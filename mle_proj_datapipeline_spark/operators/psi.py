@@ -1,0 +1,68 @@
+"""Population Stability Index — the reference's drift metric
+(``calculate_psi``, utils/model_operations.py:161-179: np.percentile
+decile breakpoints from the expected series, bucket both series,
+Σ (a−e)·ln(a/e)), rebuilt as pure DataFrame ops.
+
+Engine form: exact ``percentile`` for breakpoints (matches the oracle's
+quantile_cont; at 100 TB swap in percentile_approx — the sketch path —
+and accept approximate breakpoints), broadcast the 9 breakpoints, bucket
+via a filtered-array count, aggregate both series in one pass each.
+Fractions are clamped at 1e-6 (the reference clamps at 1e-10 via
+np.where; any positive epsilon regularizes ln(0))."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+EPS = 1e-6
+
+
+def bucketize(value: Column, breakpoints: Column) -> Column:
+    """Bucket index = #breakpoints strictly below value (0..len(bps))."""
+    return F.size(F.filter(breakpoints, lambda b: value > b))
+
+
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """One-row DataFrame (psi DOUBLE). Breakpoints come from ``expected``
+    (the reference semantics)."""
+    qs = [i / buckets for i in range(1, buckets)]
+    bps = expected.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])).alias("bps")
+    )
+
+    def frac_by_bucket(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bps))
+            .select(bucketize(F.col(col), F.col("bps")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(f"{name}_cnt"))
+        )
+
+    e = frac_by_bucket(expected, "e")
+    a = frac_by_bucket(actual, "a")
+    e_tot = expected.count()
+    a_tot = actual.count()
+    joined = (
+        e.join(a, "bucket", "full")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("e_cnt"), F.lit(0)) / F.lit(e_tot)).alias("e_frac"),
+            (F.coalesce(F.col("a_cnt"), F.lit(0)) / F.lit(a_tot)).alias("a_frac"),
+        )
+        .select(
+            F.greatest(F.col("e_frac"), F.lit(EPS)).alias("e_frac"),
+            F.greatest(F.col("a_frac"), F.lit(EPS)).alias("a_frac"),
+        )
+    )
+    return joined.agg(
+        F.round(
+            F.sum((F.col("a_frac") - F.col("e_frac")) * F.log(F.col("a_frac") / F.col("e_frac"))),
+            4,
+        ).alias("psi")
+    )

@@ -1,0 +1,183 @@
+"""Feature-engineering queries: deterministic encoding (SURVEY §2 J1/J6),
+flag recodes + string parsing (B6/I1/J3/J7), PSI drift (D8/J8), and the
+multimodal mapInPandas path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mle_proj_datapipeline_spark.functions.core import binary_flag, parse_leading_int
+from mle_proj_datapipeline_spark.operators.encode import (
+    build_dictionary,
+    dictionary_encode,
+    one_hot,
+)
+from mle_proj_datapipeline_spark.operators.multimodal import attach_binary, byte_stats
+from mle_proj_datapipeline_spark.operators.psi import psi
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# J6: dictionary (label) encoding — deterministic, dictionary-driven
+# --------------------------------------------------------------------------
+@register(
+    "dict_encode_priority",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderpriority AS value,
+               row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS idx
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority AS priority, d.idx AS priority_idx, count(*) AS n
+    FROM orders o JOIN d ON d.value = o.o_orderpriority
+    GROUP BY 1, 2
+    """,
+)
+def dict_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dictionary (count DESC, value ASC) + broadcast-join encode —
+    the deterministic replacement for per-batch StringIndexer.fit
+    (SURVEY §4.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = build_dictionary(o, "o_orderpriority")
+    return (
+        dictionary_encode(o, "o_orderpriority", d, "priority_idx")
+        .groupBy(F.col("o_orderpriority").alias("priority"), "priority_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J1: fixed-width one-hot encoding
+# --------------------------------------------------------------------------
+@register(
+    "ohe_segment_profile",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_AUTOMOBILE,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS seg_BUILDING,
+           CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS seg_FURNITURE,
+           CAST(sum(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE')
+                     OR c_mktsegment IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS seg_OTHER
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def ohe_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-category OHE → stable 0/1 columns (+OTHER bucket), summed
+    per nation. Column set is fixed regardless of batch contents."""
+    c = load_table(spark, sf_dir, "customer")
+    cats = ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+    ohe = one_hot(c, "c_mktsegment", cats, prefix="seg")
+    return ohe.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        *[F.sum(f"seg_{x}").alias(f"seg_{x}") for x in cats],
+        F.sum("seg_OTHER").alias("seg_OTHER"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 + I1 + J7: CASE-WHEN flags and string → int parsing
+# --------------------------------------------------------------------------
+@register(
+    "order_flag_recodes",
+    oracle="""
+    SELECT CAST(nullif(regexp_extract(o_orderpriority, '([0-9]+)', 1), '') AS INT) AS priority_rank,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_finished,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_urgent,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def order_flag_recodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary recodes (pymnt_plan-style, silver_loan_terms.py:23-26),
+    leading-int parse (term parse, gold_loan_terms.py:14), and a
+    membership target flag (model_operations.py:96) in one projection."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            parse_leading_int("o_orderpriority").alias("priority_rank"),
+            binary_flag("o_orderstatus", "F").alias("is_finished"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("is_urgent"),
+            "o_totalprice",
+        )
+        .groupBy("priority_rank", "is_finished", "is_urgent")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D8/J8: PSI drift between two yearly order-value distributions
+# --------------------------------------------------------------------------
+@register(
+    "psi_totalprice_drift",
+    oracle="""
+    WITH e AS (SELECT o_totalprice AS v FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+    a AS (SELECT o_totalprice AS v FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+    bps AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b FROM e),
+    eb AS (SELECT len(list_filter((SELECT b FROM bps), x -> v > x)) AS bucket FROM e),
+    ab AS (SELECT len(list_filter((SELECT b FROM bps), x -> v > x)) AS bucket FROM a),
+    ec AS (SELECT bucket, count(*) AS e_cnt FROM eb GROUP BY bucket),
+    ac AS (SELECT bucket, count(*) AS a_cnt FROM ab GROUP BY bucket),
+    fr AS (
+        SELECT greatest(coalesce(e_cnt, 0) / (SELECT count(*) FROM e), 1e-6) AS e_frac,
+               greatest(coalesce(a_cnt, 0) / (SELECT count(*) FROM a), 1e-6) AS a_frac
+        FROM ec FULL JOIN ac USING (bucket))
+    SELECT round(sum((a_frac - e_frac) * ln(a_frac / e_frac)), 4) AS psi
+    FROM fr
+    """,
+)
+def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI(1995 order values → 1996) with exact decile breakpoints —
+    the reference drift trigger's metric (utils/model_operations.py:161-179)."""
+    o = load_table(spark, sf_dir, "orders")
+    e = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_totalprice")
+    a = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_totalprice")
+    return psi(e, a, "o_totalprice", buckets=10)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: Arrow-batched binary feature extraction (mapInPandas)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_byte_stats",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS first_byte,
+               list_sum(list_transform(range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1)))) % 997 AS checksum_mod
+        FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(first_byte) AS INT) AS min_first_byte,
+           CAST(sum(checksum_mod) AS BIGINT) AS checksum_total
+    FROM b GROUP BY source
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: attach blob + metadata struct, extract
+    features via Arrow-batched mapInPandas (the decode-shaped path),
+    aggregate JVM-side. Oracle reproduces the byte math in SQL (texts are
+    ASCII, so char codes == bytes)."""
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    stats = byte_stats(docs)
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("first_byte").alias("min_first_byte"),
+        F.sum("checksum_mod").alias("checksum_total"),
+    )

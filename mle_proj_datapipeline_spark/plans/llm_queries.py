@@ -163,7 +163,7 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dups (hamming ≤ 2) with pigeonhole byte-block
+    """60-bit SimHash near-dups (hamming ≤ 2) with pigeonhole byte-block
     candidate generation."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=2)
@@ -272,8 +272,8 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_words
         FROM documents)
     SELECT lang, count(*) AS n_docs,
-           sum(n_tokens)      AS total_tokens,
-           sum(n_alpha_words) AS total_alpha_words,
+           CAST(sum(n_tokens) AS BIGINT)      AS total_tokens,
+           CAST(sum(n_alpha_words) AS BIGINT) AS total_alpha_words,
            round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
            CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) AS chars_per_token
     FROM q GROUP BY lang

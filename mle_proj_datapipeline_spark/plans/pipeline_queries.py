@@ -65,7 +65,7 @@ def impute_mode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (SELECT floor(avg(bal_n) * 100 + 0.5) / 100 FROM d)) AS bal_filled
         FROM d)
     SELECT c_mktsegment AS segment,
-           sum(bal_missing)                        AS n_missing,
+           CAST(sum(bal_missing) AS BIGINT)        AS n_missing,
            round(sum(bal_filled), 2) / count(*)    AS avg_bal
     FROM f GROUP BY c_mktsegment
     """,
@@ -97,7 +97,7 @@ def impute_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT upper(substr(source, 1, 3)) AS src_prefix,
            count(*) AS n_docs,
-           sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS n_spark_docs,
+           CAST(sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS n_spark_docs,
            CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS DOUBLE) / count(*) AS avg_tokens,
            count(DISTINCT lang) AS n_langs
     FROM documents
@@ -127,7 +127,7 @@ def doc_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
     FROM events
     GROUP BY event_type
