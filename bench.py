@@ -20,6 +20,7 @@ import mle_proj_datapipeline_spark.plans.relational  # noqa: F401
 import mle_proj_datapipeline_spark.plans.pipeline_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.llm_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.feature_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import QUERIES
 from mle_proj_datapipeline_spark.session import get_spark
 
@@ -37,6 +38,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_top1",
     "doc_quality_by_lang",
+    "embedding_cosine_neardups",
+    "doc_token_stats",
 ]
 
 

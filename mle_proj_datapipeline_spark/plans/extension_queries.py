@@ -1,0 +1,225 @@
+"""Engine-extension queries rounding out SURVEY.md §2 coverage:
+
+- embedding-cosine near-dup dedup (north-star dedup family, 5th member)
+- BPE-ish regex token counting (north-star text analysis)
+- deterministic stratified hash sampling (§2 J4/J5 — reference
+  utils/model_operations.py:79-85 `df.sample`, LightGBM_training_run.py:117
+  stratified split; made reproducible via content hash instead of RNG)
+- recent-N-weeks semi-join analytics (§2 E3 — the reference's
+  `WHERE week_date IN (SELECT DISTINCT week_date ... LIMIT n)` shape,
+  utils/query_model_performance.py:88-104)
+- CUBE multi-dimensional totals (§2 D extension, sibling of rollup)
+- exact distinct cardinalities (§2 D extension: distinct-count family)
+
+Oracle SQL is generated from the same constants the Spark side uses
+(H31 hash, hyperplanes) — see plans/llm_queries.py for the convention.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mle_proj_datapipeline_spark.operators import similarity as sim
+from mle_proj_datapipeline_spark.plans.llm_queries import _BUCKET, _COSINE, _h31
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Dedup: embedding-cosine near-dup (LSH-bucketed candidates)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_cosine_neardups",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COSINE}, 4) AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+    """,
+)
+def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: hyperplane-LSH bucket join
+    (one shuffle, no cross join) + exact double-precision cosine filter.
+    The 100 TB semantic-dedup path: candidates only within a bucket, so
+    work is Σ bucket² not N²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        sim.plane_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(sim.cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= 0.2)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: token counting — whitespace + BPE-ish regex pre-tokenizer
+# --------------------------------------------------------------------------
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+               len(regexp_extract_all(text, '{_BPE_PAT}')) AS bpe_tokens
+        FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(max(bpe_tokens) AS BIGINT) AS max_bpe_tokens,
+           round(CAST(sum(bpe_tokens) AS DOUBLE) / sum(ws_tokens), 4) AS bpe_per_ws
+    FROM t GROUP BY source
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting per corpus source: whitespace tokens vs a BPE-ish
+    regex pre-tokenizer (letter runs | digit runs | single punctuation).
+    Pure JVM expressions — the whole pipeline stays in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + F.lit(1)
+    bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
+    t = docs.select("source", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.max("bpe_tokens").cast("long").alias("max_bpe_tokens"),
+        F.round(F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens"), 4).alias("bpe_per_ws"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sampling: deterministic stratified Bernoulli via content hash (J4/J5)
+# --------------------------------------------------------------------------
+_RATES = {"1-URGENT": 20, "2-HIGH": 20, "3-MEDIUM": 10, "4-NOT SPECIFIED": 5, "5-LOW": 5}
+
+
+@register(
+    "orders_hash_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE {_h31('CAST(o_orderkey AS VARCHAR)')} % 100 < CASE o_orderpriority
+        {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())}
+        ELSE 0 END
+    """,
+)
+def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sample (sampleBy semantics, reference
+    model_operations.py:79-85 / stratified split LightGBM_training_run.py:117)
+    made deterministic: keep iff H31(key) mod 100 < rate(stratum).
+    Content-hash sampling is reproducible across runs, engines, and
+    cluster sizes — `df.sample(seed=)` is not (partition-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    from mle_proj_datapipeline_spark.operators.dedup import h31
+
+    rate = F.lit(0)
+    for k, v in _RATES.items():
+        rate = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(rate)
+    keep = h31(F.col("o_orderkey").cast("string")) % 100 < rate
+    return o.filter(keep).select("o_orderkey", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Semi-join on recent weeks (E3 — query_model_performance.py:88-104 shape)
+# --------------------------------------------------------------------------
+@register(
+    "recent_week_event_stats",
+    oracle="""
+    WITH recent AS (
+        SELECT DISTINCT date_trunc('week', ts) AS wk FROM events
+        ORDER BY wk DESC LIMIT 4)
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE date_trunc('week', ts) IN (SELECT wk FROM recent)
+    GROUP BY 1, 2
+    """,
+)
+def recent_week_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics over only the N most recent weekly partitions — the
+    reference's `IN (SELECT DISTINCT week_date ... LIMIT %s)` analytic
+    (query_model_performance.py:96-102) as a broadcast left-semi join.
+    At scale the 4-row week list broadcasts; with week as a partition
+    key this prunes the scan to 4 partitions."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "wk", F.date_trunc("week", F.col("ts"))
+    )
+    recent = ev.select("wk").distinct().orderBy(F.desc("wk")).limit(4)
+    return (
+        ev.join(F.broadcast(recent), "wk", "left_semi")
+        .groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE totals (D extension, sibling of revenue_rollup)
+# --------------------------------------------------------------------------
+@register(
+    "order_priority_cube",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping sets in one Expand +
+    one shuffle — no self-union of separate aggregations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .cube("priority", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact distinct cardinalities (D extension: distinct-count family)
+# --------------------------------------------------------------------------
+@register(
+    "order_cardinalities",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)) AS n_months,
+           count(*) AS n_orders
+    FROM orders
+    """,
+)
+def order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct counts in one job (Expand-based
+    count-distinct; Catalyst plans partial aggregation per distinct set).
+    At 100 TB swap for approx_count_distinct (HLL++) — approximate
+    variant exercised in tests, not oracle-gated (HLL sketches differ
+    across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.date_trunc("month", "o_orderdate").cast("date")).alias("n_months"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
