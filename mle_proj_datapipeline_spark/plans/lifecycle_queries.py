@@ -1,0 +1,114 @@
+"""Lifecycle queries (SURVEY.md §2 L): the retraining trigger as an
+oracle-backed query, plus model-selection analytics.
+
+The trigger (reference utils/dag_functions.py:61-99) is a stateful fold —
+decision t depends on decisions < t — so its oracle is a recursive CTE
+rather than a window function. Weekly metric rows are derived
+deterministically from the orders table (model = order priority, metric =
+hash-derived in [0.860, 0.955]) so both trigger arms (metric < 0.87, >= 90
+days stale) fire on the test data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mle_proj_datapipeline_spark.operators.dedup import P31, h31
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+from mle_proj_datapipeline_spark.streaming.lifecycle import (
+    F1_THRESHOLD,
+    STALE_DAYS,
+    decide_batch,
+)
+
+_H31_SQL = "(('0x'||substr(md5(model || '|' || week),1,15))::BIGINT % {p})".format(p=P31)
+
+
+def weekly_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (model, week, metric) panel from orders: one row per
+    priority × week, metric = 0.86 + (H31(model|week) % 20) / 200."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd")
+    base = (
+        o.select(F.col("o_orderpriority").alias("model"), wk.alias("week"))
+        .groupBy("model", "week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .drop("n")
+    )
+    metric = F.round(
+        F.lit(0.86) + (h31(F.concat_ws("|", "model", "week")) % 20) / F.lit(200.0), 4
+    )
+    return base.withColumn("metric", metric)
+
+
+@register(
+    "retraining_trigger",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+        SELECT model, week,
+               round(0.86 + ({_H31_SQL} % 20) / 200.0, 4) AS metric,
+               row_number() OVER (PARTITION BY model ORDER BY week) AS idx
+        FROM (
+            SELECT DISTINCT o_orderpriority AS model,
+                   strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
+            FROM orders)
+    ),
+    rec AS (
+        SELECT model, week, metric, idx, 'init' AS reason, CAST(week AS DATE) AS last_retrain
+        FROM w WHERE idx = 1
+        UNION ALL
+        SELECT w.model, w.week, w.metric, w.idx,
+               CASE WHEN w.metric < {F1_THRESHOLD} THEN 'low_f1'
+                    WHEN date_diff('day', r.last_retrain, CAST(w.week AS DATE)) >= {STALE_DAYS}
+                        THEN 'stale'
+                    ELSE 'none' END,
+               CASE WHEN w.metric < {F1_THRESHOLD}
+                         OR date_diff('day', r.last_retrain, CAST(w.week AS DATE)) >= {STALE_DAYS}
+                    THEN CAST(w.week AS DATE) ELSE r.last_retrain END
+        FROM rec r JOIN w ON w.model = r.model AND w.idx = r.idx + 1
+    )
+    SELECT model, week, metric, reason FROM rec
+    """,
+)
+def retraining_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retrain/no-retrain decisions per model — the reference's
+    `check_retraining_trigger` as a distributed stateful fold
+    (applyInPandas per model; streaming twin in streaming/lifecycle.py).
+    The oracle is a recursive CTE: decision t depends on decision t-1."""
+    return decide_batch(weekly_model_metrics(spark, sf_dir))
+
+
+@register(
+    "best_model_per_week",
+    oracle=f"""
+    WITH w AS (
+        SELECT model, week,
+               round(0.86 + ({_H31_SQL} % 20) / 200.0, 4) AS metric
+        FROM (
+            SELECT DISTINCT o_orderpriority AS model,
+                   strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
+            FROM orders)
+    ),
+    ranked AS (
+        SELECT week, model, metric,
+               row_number() OVER (PARTITION BY week ORDER BY metric DESC, model ASC) AS rk
+        FROM w)
+    SELECT week, model AS best_model, metric AS best_metric
+    FROM ranked WHERE rk = 1
+    """,
+)
+def best_model_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection (reference query_model_performance.py:147-166 /
+    dag_functions.py:234-306): rank-1 model per week over the same metric
+    panel — CTE + ROW_NUMBER shape, deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    m = weekly_model_metrics(spark, sf_dir)
+    w = Window.partitionBy("week").orderBy(F.desc("metric"), F.asc("model"))
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("week", F.col("model").alias("best_model"), F.col("metric").alias("best_metric"))
+    )
