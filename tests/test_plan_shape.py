@@ -1,0 +1,118 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (SURVEY.md §4) must be visible in the executed plan, not just
+asserted in docstrings.
+
+These guard against silent regressions that correctness tests cannot see:
+a dropped broadcast hint (sort-merge join of a 25-row dim), a widened
+read schema (full-width 100 TB scan for a 4-column query), a
+candidate-join rewrite that degenerates into a nested-loop cross join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def read_schema_widths(plan: str) -> list[int]:
+    """Column counts of every parquet ReadSchema in the plan."""
+    widths = []
+    for line in plan.splitlines():
+        if line.startswith("ReadSchema:"):
+            widths.append(line.count(":"))  # struct<a:t,b:t,...> → fields+1
+    return widths
+
+
+def test_dim_joins_broadcast(spark):
+    """nation/region/supplier dims must broadcast — a shuffle join of a
+    25-row table against lineitem is the canonical 100 TB mistake."""
+    for q in ["nation_revenue", "revenue_rollup", "top_supplier_per_nation_week"]:
+        plan = plan_of(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q}: no broadcast join\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{q}: dim join fell back to SMJ\n{plan}"
+
+
+def test_no_nested_loop_in_candidate_joins(spark):
+    """Every pair-generation join (LSH bands, simhash blocks, plane
+    buckets, jaccard blocks) must be an equi-join, never a cross/NL join."""
+    for q in [
+        "minhash_lsh_neardups",
+        "simhash_neardups",
+        "ngram_jaccard_neardups",
+        "embedding_cosine_neardups",
+        "ann_lsh_top1",
+    ]:
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, f"{q}: cartesian product\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q}: BNLJ\n{plan}"
+
+
+def test_brute_force_broadcasts_queries(spark):
+    """ann_cosine_topk: the small query side must broadcast (candidate
+    set never shuffles); the only allowed non-equi join is this one."""
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """pricing_summary touches 7 of lineitem's 16 columns — the scan
+    must read only those (column pruning through agg + projection)."""
+    plan = plan_of(spark, "pricing_summary")
+    widths = read_schema_widths(plan)
+    assert widths and max(widths) <= 8, f"scan not pruned: {widths}\n{plan}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """ann_cosine_topk's vec_id < 50 must appear in PushedFilters."""
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
+    assert any("LessThan(vec_id,50)" in ln for ln in pushed), "\n".join(pushed)
+
+
+def test_aggregations_stay_in_codegen(spark):
+    """Headline aggregations must run inside whole-stage codegen. AQE
+    defers codegen until execution, so inspect the static plan (AQE off
+    only for this explain — it changes nothing about codegen eligibility)."""
+    for q in ["pricing_summary", "segment_order_stats", "doc_token_stats"]:
+        # Build first (query wrappers re-enable AQE), then explain with
+        # AQE off so the static plan materializes its codegen stages.
+        df = entrymod.queries()[q](spark, SF_ORACLE)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "codegen"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan, (
+            f"{q}: no WholeStageCodegen span\n{plan[:2000]}"
+        )
+
+
+def test_semi_join_for_in_subquery(spark):
+    """recent_week_event_stats: IN (subquery) shape must plan as a
+    broadcast left-semi join, not a shuffle."""
+    plan = plan_of(spark, "recent_week_event_stats")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin LeftSemi" in plan or "BroadcastExchange" in plan, plan
+
+
+@pytest.mark.parametrize("q", ["pricing_summary", "nation_revenue"])
+def test_partial_aggregation_before_shuffle(spark, q):
+    """Map-side combine: a HashAggregate must appear below the Exchange
+    (partial) and above it (final) — one full-data shuffle, pre-reduced."""
+    plan = plan_of(spark, q, mode="simple")
+    first_agg = plan.find("HashAggregate")
+    exchange = plan.find("Exchange", first_agg)
+    second_agg = plan.find("HashAggregate", exchange)
+    assert -1 not in (first_agg, exchange, second_agg), plan
