@@ -38,6 +38,7 @@ HEADLINE = [
     "simhash_neardups",
     "ann_cosine_topk",
     "ann_lsh_top1",
+    "ann_ivf_topk",
     "doc_quality_by_lang",
     "embedding_cosine_neardups",
     "doc_token_stats",

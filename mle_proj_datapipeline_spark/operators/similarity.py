@@ -74,6 +74,92 @@ def plane_bucket(vec: Column | str, planes: list[list[float]] | None = None) -> 
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+NUM_CELLS = 8
+NUM_PROBES = 2
+
+
+def ivf_centroids(num_cells: int = NUM_CELLS, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (same H31 recipe as the
+    hyperplanes). A production IVF would k-means these; a fixed pseudo-
+    random codebook exercises the identical plan shape and keeps the SQL
+    oracle exact."""
+    return [
+        [(h31_py(f"c{k}_{d}") % 2001 - 1000) / 1000.0 for d in range(dim)]
+        for k in range(num_cells)
+    ]
+
+
+def _dist_sq_sql(vec: str, centroid: list[float]) -> str:
+    lits = ", ".join(f"{x!r}D" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec}, array({lits}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def ivf_cell(vec: str, centroids: list[list[float]] | None = None) -> Column:
+    """1-based id of the nearest centroid (L2; ties → lowest id)."""
+    cs = centroids or ivf_centroids()
+    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c) for c in cs) + ")"
+    return F.expr(f"array_position({d_arr}, array_min({d_arr}))").cast("int")
+
+
+def ivf_probes(
+    vec: str, centroids: list[list[float]] | None = None, n_probes: int = NUM_PROBES
+) -> Column:
+    """Ids of the ``n_probes`` nearest cells (dist asc, id asc) — the
+    query-side probe list. Struct array_sort is lexicographic in both
+    Spark and DuckDB, so tie order is cross-engine identical."""
+    cs = centroids or ivf_centroids()
+    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c) for c in cs) + ")"
+    return F.expr(
+        f"transform(slice(array_sort(transform(sequence(1, {len(cs)}), "
+        f"k -> struct(element_at({d_arr}, k) AS dist, k AS idx))), 1, {n_probes}), "
+        "s -> CAST(s.idx AS INT))"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: candidates are indexed once by nearest-
+    centroid cell; each query probes its NUM_PROBES nearest cells and
+    reranks exactly within them.
+
+    Scale shape: the cell index is a narrow per-row map over the corpus
+    (build once, partition by cell); the probe join is an equi-join on
+    cell id — per-query work is |probed cells| not |corpus|, and the
+    shuffle key is the (small-cardinality, controllably-balanced) cell
+    id rather than an all-pairs cross."""
+    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_cell(vec_col).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_probes(vec_col)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,

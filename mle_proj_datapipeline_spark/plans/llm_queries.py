@@ -347,3 +347,50 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equi-join on bucket, no cross join)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_top1(emb)
+
+
+# --------------------------------------------------------------------------
+# Similarity: IVF (inverted-file) probe + rerank
+# --------------------------------------------------------------------------
+def _ivf_dist_sql(vec: str, centroid: list[float]) -> str:
+    lits = "[" + ", ".join(repr(v) for v in centroid) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {sim.EMB_DIM + 1}), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - ({lits})[i]) * (CAST({vec}[i] AS DOUBLE) - ({lits})[i])), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _ivf_oracle() -> str:
+    cs = sim.ivf_centroids()
+    d_arr = "[" + ", ".join(_ivf_dist_sql("embedding", c) for c in cs) + "]"
+    cell = f"list_position({d_arr}, list_min({d_arr}))"
+    probes = (
+        f"list_transform(list_sort(list_transform(range(1, {len(cs)} + 1), "
+        f"k -> {{'dist': ({d_arr})[k], 'idx': k}}))[1:{sim.NUM_PROBES}], s -> s.idx)"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding, {cell} AS cell FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding, unnest({probes}) AS cell
+        FROM embeddings WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {_COSINE.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} AS cosine
+        FROM q JOIN c ON q.cell = c.cell AND q.query_id != c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 3
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus indexed by nearest deterministic centroid, query
+    probes its 2 nearest cells, exact cosine rerank within them — the
+    second scale path (complements hyperplane LSH; per-query work is
+    probed-cells-sized, shuffle key is the cell id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)

@@ -48,6 +48,7 @@ def test_no_nested_loop_in_candidate_joins(spark):
         "ngram_jaccard_neardups",
         "embedding_cosine_neardups",
         "ann_lsh_top1",
+        "ann_ivf_topk",
     ]:
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, f"{q}: cartesian product\n{plan}"
