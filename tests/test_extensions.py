@@ -1,0 +1,43 @@
+"""Extension-operator tests beyond the oracle gate: approximate
+distinct counts (HLL++ — not oracle-gated since sketches differ across
+engines) and hash-sampling properties."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL++ estimate within 3x the default rsd (5%) of the exact count
+    — the 100 TB stand-in for the exact distinct in order_cardinalities."""
+    o = load_table(spark, SF_ORACLE, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.15
+
+
+def test_hash_sample_is_stable_under_repartition(spark):
+    """Content-hash sampling must select the same rows regardless of
+    physical layout (the property seeded df.sample lacks)."""
+    from mle_proj_datapipeline_spark.plans.extension_queries import orders_hash_sample
+
+    a = {r["o_orderkey"] for r in orders_hash_sample(spark, SF_ORACLE).collect()}
+    o = load_table(spark, SF_ORACLE, "orders").repartition(7)
+    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.plans.extension_queries import _RATES
+
+    rate = F.lit(0)
+    for k, v in _RATES.items():
+        rate = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(rate)
+    b = {
+        r["o_orderkey"]
+        for r in o.filter(h31(F.col("o_orderkey").cast("string")) % 100 < rate)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert a == b and len(a) > 0

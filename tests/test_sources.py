@@ -1,0 +1,55 @@
+"""Source/sink layer tests: declared-schema CSV with corrupt-record
+quarantine, FAILFAST mode, and dynamic partition-overwrite writes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from mle_proj_datapipeline_spark.sources.readers import read_csv, read_parquet
+from mle_proj_datapipeline_spark.sources.writers import write_partitioned
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), True),
+        StructField("name", StringType(), True),
+        StructField("score", IntegerType(), True),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "data.csv"
+    p.write_text("id,name,score\n1,alice,10\n2,bob,not_a_number\n3,carol,30\n")
+    return str(p)
+
+
+def test_permissive_quarantines_bad_rows(spark, csv_path):
+    df = read_csv(spark, csv_path, SCHEMA).cache()
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["id"] == 2 and bad[0]["score"] is None
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert {r["id"] for r in good.collect()} == {1, 3}
+
+
+def test_failfast_raises(spark, csv_path):
+    with pytest.raises(Exception):
+        read_csv(spark, csv_path, SCHEMA, permissive=False).collect()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path_factory):
+    """Overwriting one partition must not clobber the others."""
+    out = str(tmp_path_factory.mktemp("pw") / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-07"), (2, "2024-01-14")], ["v", "week"]
+    )
+    write_partitioned(df, out, ["week"])
+    # rewrite only week 2024-01-14 with a new value
+    df2 = spark.createDataFrame([(99, "2024-01-14")], ["v", "week"])
+    write_partitioned(df2, out, ["week"])
+    # partition values round-trip type-inferred (string -> date)
+    got = {(r["v"], str(r["week"])) for r in read_parquet(spark, out).collect()}
+    assert got == {(1, "2024-01-07"), (99, "2024-01-14")}
