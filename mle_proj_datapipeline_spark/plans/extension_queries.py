@@ -223,3 +223,116 @@ def order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.date_trunc("month", "o_orderdate").cast("date")).alias("n_months"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (I4-adjacent reshape; Spark 3.4 unpivot operator)
+# --------------------------------------------------------------------------
+@register(
+    "part_attr_melt",
+    oracle="""
+    WITH u AS (
+        UNPIVOT (SELECT p_brand,
+                        CAST(p_size AS DOUBLE) AS p_size,
+                        p_retailprice
+                 FROM part)
+        ON p_size, p_retailprice INTO NAME attr VALUE val)
+    SELECT p_brand, attr, count(*) AS n, round(avg(val), 4) AS avg_val
+    FROM u GROUP BY p_brand, attr
+    """,
+)
+def part_attr_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native unpivot operator (zero-copy
+    Expand, no self-union of N projections) + per-attribute rollup —
+    the same melt that powers single-shuffle multi-column mode
+    imputation (operators/impute.py)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_brand",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot(["p_brand"], ["p_size", "p_retailprice"], "attr", "val")
+        .groupBy("p_brand", "attr")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("val"), 4).alias("avg_val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (D8-adjacent; exact, so oracle-comparable)
+# --------------------------------------------------------------------------
+@register(
+    "acctbal_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           count(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles per segment. At 100 TB swap
+    F.percentile for percentile_approx (t-digest) — exact percentile is
+    a full sort per group; the approx variant is one pass, mergeable."""
+    c = load_table(spark, sf_dir, "customer")
+    pct = F.percentile(F.col("c_acctbal"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(pct.alias("p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_mktsegment",
+            F.round(F.element_at("p", 1), 4).alias("p25"),
+            F.round(F.element_at("p", 2), 4).alias("p50"),
+            F.round(F.element_at("p", 3), 4).alias("p75"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching: blocked edit-distance near-dup profile
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH b AS (SELECT c_custkey, c_name, c_nationkey, length(c_name) AS ln FROM customer),
+    pairs AS (
+        SELECT x.c_nationkey AS nation_key,
+               levenshtein(x.c_name, y.c_name) AS dist
+        FROM b x JOIN b y
+          ON x.c_nationkey = y.c_nationkey AND x.ln = y.ln
+         AND x.c_custkey < y.c_custkey)
+    SELECT nation_key, count(*) AS n_fuzzy_pairs, min(dist) AS min_dist
+    FROM pairs WHERE dist <= 2
+    GROUP BY nation_key
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate profile with (nation, length)
+    blocking — the fuzzy sibling of the n-gram Jaccard dedup. Blocking
+    bounds the quadratic term to within-block pairs; at 100 TB the block
+    key must be chosen so max-block-size is bounded (here: nation x
+    name-length)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("ln")
+    )
+    x = c.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), "c_nationkey", "ln"
+    )
+    y = c.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), "c_nationkey", "ln"
+    )
+    return (
+        x.join(y, ["c_nationkey", "ln"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            F.col("c_nationkey").alias("nation_key"),
+            F.levenshtein("na", "nb").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .groupBy("nation_key")
+        .agg(F.count(F.lit(1)).alias("n_fuzzy_pairs"), F.min("dist").alias("min_dist"))
+    )
