@@ -118,3 +118,36 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> St
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_silver(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    transform,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming medallion edge: raw weekly files land, each micro-batch
+    runs the silver ``transform`` and overwrites exactly the
+    snapshot_week partitions present in that batch (dynamic partition
+    overwrite). This is the reference's FileSensor → bronze → silver
+    Airflow chain (dags/dag.py:110-198) as ONE checkpointed stream:
+    arrival gating, exactly-once, and idempotent weekly re-runs all come
+    from the engine, not the orchestrator.
+
+    ``transform`` is the same batch function used by plans/medallion.py
+    (batch/stream parity by construction — same code, not a rewrite).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df)
+        out.write.mode("overwrite").partitionBy("snapshot_week").parquet(out_dir)
+
+    return (
+        file_stream(spark, landing_dir, schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
