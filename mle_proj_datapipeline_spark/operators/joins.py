@@ -106,3 +106,30 @@ def range_join_bucketed(
     return joined.filter(
         (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
     ).drop("__bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant inner equi-join: the (large, skewed) ``left`` adds a
+    deterministic salt derived from ``salt_from`` (any well-distributed
+    left column, e.g. its primary key); ``right`` replicates each row
+    across all ``n_salts`` buckets. The hot key's rows then spread over
+    ``n_salts`` shuffle partitions instead of one.
+
+    Semantically identical to ``left.join(right, on)`` (tested); use when
+    a single join key exceeds an executor's partition budget and AQE's
+    skew splitting can't help (e.g. the skewed side feeds a window).
+    Deterministic salt (xxhash64, no rand()) keeps results stable across
+    retries and cluster layouts. Cost: right side is written n_salts×
+    into the shuffle — size n_salts to the skew factor, not higher.
+    """
+    lt = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)))
+    rt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return lt.join(rt, on + ["__salt"]).drop("__salt")

@@ -336,3 +336,46 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation_key")
         .agg(F.count(F.lit(1)).alias("n_fuzzy_pairs"), F.min("dist").alias("min_dist"))
     )
+
+
+# --------------------------------------------------------------------------
+# Range join (E-family extension) via bucketed equi-join
+# --------------------------------------------------------------------------
+@register(
+    "suppliers_in_customer_band",
+    oracle="""
+    WITH band AS (
+        SELECT c_nationkey AS nationkey,
+               min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        FROM customer GROUP BY c_nationkey)
+    SELECT b.nationkey, count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_bal
+    FROM supplier s JOIN band b
+      ON s.s_nationkey = b.nationkey
+     AND s.s_acctbal >= b.lo AND s.s_acctbal <= b.hi
+    GROUP BY b.nationkey
+    """,
+)
+def suppliers_in_customer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join executed as a bucketed equi-join
+    (operators/joins.range_join_bucketed): intervals explode to the
+    integer buckets they span, the join shuffles on (key, bucket), the
+    exact range predicate filters after — a hash join where Spark would
+    otherwise pick BroadcastNestedLoopJoin."""
+    from mle_proj_datapipeline_spark.operators.joins import range_join_bucketed
+
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), "s_acctbal"
+    )
+    band = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    joined = range_join_bucketed(
+        s, band, left_point="s_acctbal", right_lo="lo", right_hi="hi",
+        bucket_width=2000.0, on=["nationkey"],
+    )
+    return joined.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )

@@ -41,3 +41,17 @@ def test_hash_sample_is_stable_under_repartition(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be semantically identical to the plain inner
+    equi-join while spreading each key across n_salts shuffle keys."""
+    from mle_proj_datapipeline_spark.operators.joins import salted_join
+
+    o = load_table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_ORACLE, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_mktsegment")
+    salted = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], "o_orderkey", 8
+    ).select("o_orderkey", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
