@@ -379,3 +379,43 @@ def suppliers_in_customer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function family breadth (F extensions): dense_rank, ntile,
+# percent_rank, cume_dist, lag in one pass
+# --------------------------------------------------------------------------
+@register(
+    "supplier_balance_ranks",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           dense_rank()   OVER w AS drk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS prk,
+           round(cume_dist()    OVER w, 4) AS cd,
+           round(s_acctbal - lag(s_acctbal, 1, s_acctbal) OVER w, 2) AS delta_prev
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+)
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window spec — one sort,
+    five functions (Catalyst fuses same-spec window functions into a
+    single Window operator; check: exactly one Sort in the plan)."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("prk"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(
+            F.col("s_acctbal")
+            - F.coalesce(F.lag("s_acctbal", 1).over(w), F.col("s_acctbal")),
+            2,
+        ).alias("delta_prev"),
+    )

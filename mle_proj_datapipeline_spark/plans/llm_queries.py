@@ -394,3 +394,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed-cells-sized, shuffle key is the cell id)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+
+
+# --------------------------------------------------------------------------
+# Text: TF-IDF top terms per corpus source
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    tf  AS (SELECT doc_id, source, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, source, term),
+    df  AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n   AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               round(avg(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)), 4) AS avg_tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        GROUP BY tf.source, tf.term),
+    ranked AS (
+        SELECT source, term, avg_tfidf,
+               row_number() OVER (PARTITION BY source ORDER BY avg_tfidf DESC, term ASC) AS rk
+        FROM scored)
+    SELECT source, term, avg_tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per corpus source by average TF-IDF
+    — explode → two hash aggregations (tf per doc-term, df per term) →
+    broadcast the (small) df table back → per-source top-k. No MLlib
+    HashingTF (hash collisions would make the oracle inexact); the df
+    side is a term dictionary, exactly the global-dictionary pattern the
+    engine uses for categorical encoding."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("source", "term")
+        .agg(
+            F.round(
+                F.avg(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))), 4
+            ).alias("avg_tfidf")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("avg_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "avg_tfidf", "rk")
+    )
