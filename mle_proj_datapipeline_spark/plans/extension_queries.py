@@ -419,3 +419,68 @@ def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("delta_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot (D extension; inverse of part_attr_melt)
+# --------------------------------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "nation_segment_pivot",
+    oracle=f"""
+    SELECT c_nationkey,
+           {', '.join(f'''count(*) FILTER (WHERE c_mktsegment = '{s}') AS {s.lower()}''' for s in _SEGMENTS)},
+           count(*) AS total
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an EXPLICIT value list — one aggregation
+    pass, no second distinct-values job (pivot without the list runs a
+    hidden collect), and a schema that cannot drift across batches
+    (same determinism rule as the OHE encoder)."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = [
+        F.count(F.when(F.col("c_mktsegment") == s, 1)).alias(s.lower()) for s in _SEGMENTS
+    ]
+    return c.groupBy("c_nationkey").agg(*counts, F.count(F.lit(1)).alias("total"))
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert (lake-format MERGE INTO semantics without Delta)
+# --------------------------------------------------------------------------
+@register(
+    "orders_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0),
+    target AS (
+        SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+               'O' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM updates
+    UNION ALL
+    SELECT t.o_orderkey, t.o_totalprice, t.o_orderstatus
+    FROM target t ANTI JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (operators/joins.merge_upsert): updates win
+    on key collision, unmatched target rows survive — broadcast anti
+    join + unionByName. Target/update sets are deterministic slices of
+    orders (mod-2 stale snapshot vs mod-3 fresh rows)."""
+    from mle_proj_datapipeline_spark.operators.joins import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit("O").alias("o_orderstatus"),
+    )
+    return merge_upsert(target, updates, ["o_orderkey"])
