@@ -71,15 +71,31 @@ def get_spark(
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):
-    """Repartition iff the input has fewer partitions than the target.
+    """Repartition iff the input would scan with fewer partitions than
+    the target.
 
     Small single-file parquet scans (the local testdata) arrive as ONE
     partition — compute-heavy narrow work (hashing, shingling, vector
     folds) would then run on one core. At cluster scale inputs already
     have ≥ target partitions, so this is a no-op (no gratuitous shuffle
-    of 100 TB)."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    of 100 TB).
+
+    The scan-partition estimate comes from file metadata
+    (bytes / maxPartitionBytes, floored at the file count) — ~10 ms vs
+    ~100 ms for the ``df.rdd`` probe, and no RDD-conversion plan work.
+    Falls back to the exact RDD partition count for non-file inputs."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = [f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()]
+        if not files:  # non-file source (e.g. createDataFrame) — exact probe
+            raise ValueError("no input files")
+        total = sum(os.path.getsize(f) for f in files)
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        est = max(len(files), total // mpb)
+    except (OSError, ValueError):
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
 
