@@ -1,0 +1,97 @@
+"""Join-operator edge paths: as-of direction/exact-match variants
+(validated against pandas merge_asof — the semantics the operator
+claims), range-join boundary inclusion, merge_upsert keep-latest."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mle_proj_datapipeline_spark.operators.joins import (
+    asof_join,
+    merge_upsert,
+    range_join_bucketed,
+)
+
+LEFT = [
+    # (key, ts, lval)
+    ("a", 10, "l1"),
+    ("a", 20, "l2"),
+    ("a", 30, "l3"),
+    ("b", 15, "l4"),
+    ("b", 16, "l5"),
+]
+RIGHT = [
+    # (key, ts, payload)
+    ("a", 10, "r10"),
+    ("a", 25, "r25"),
+    ("b", 16, "r16"),
+    ("b", 40, "r40"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(LEFT, ["k", "ts", "lval"])
+    right = spark.createDataFrame(RIGHT, ["k", "ts", "payload"])
+    return left, right
+
+
+def _pandas_asof(direction, allow_exact):
+    lp = pd.DataFrame(LEFT, columns=["k", "ts", "lval"]).sort_values("ts")
+    rp = pd.DataFrame(RIGHT, columns=["k", "ts", "payload"]).sort_values("ts")
+    out = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction, allow_exact_matches=allow_exact
+    )
+    return {(r.k, r.ts): (None if pd.isna(r.payload) else r.payload) for r in out.itertuples()}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_matches_pandas(spark, frames, direction, allow_exact):
+    left, right = frames
+    got = {
+        (r["k"], r["ts"]): r["payload"]
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            direction=direction,
+            allow_exact_matches=allow_exact,
+        ).collect()
+    }
+    assert got == _pandas_asof(direction, allow_exact)
+
+
+def test_range_join_boundaries(spark):
+    """Interval endpoints are inclusive; bucket width smaller than the
+    interval must not drop spanning matches."""
+    pts = spark.createDataFrame([(1, 0.0), (2, 5.0), (3, 10.0), (4, 10.01)], ["pid", "x"])
+    ivs = spark.createDataFrame([(100, 0.0, 10.0)], ["iid", "lo", "hi"])
+    got = sorted(
+        r["pid"]
+        for r in range_join_bucketed(
+            pts, ivs, left_point="x", right_lo="lo", right_hi="hi", bucket_width=3.0
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_merge_upsert_keep_latest(spark):
+    target = spark.createDataFrame([(1, "old1"), (2, "old2")], ["id", "v"])
+    updates = spark.createDataFrame(
+        [(2, "newA", 5), (2, "newB", 9), (3, "new3", 1)], ["id", "v", "version"]
+    )
+    got = {
+        (r["id"], r["v"])
+        for r in merge_upsert(
+            target.withColumn("version", target.id * 0),
+            updates,
+            ["id"],
+            order_col="version",
+        ).select("id", "v").collect()
+    }
+    # id=2: highest version wins; id=1 survives; id=3 inserted
+    assert got == {(1, "old1"), (2, "newB"), (3, "new3")}
