@@ -46,3 +46,29 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     utils/model_operations.py:33-35 passes 50 explicit weekly paths) —
     partition pruning then happens in the optimizer, not in Python."""
     return spark.read.parquet(*paths)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    permissive: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL scan with a declared schema — same contract as ``read_csv``
+    (no inference pass, corrupt rows quarantined not fatal). For JSON
+    *columns* inside a table use ``from_json`` (see json_event_props);
+    this is for JSON-lines files as a source."""
+    read_schema = (
+        StructType(list(schema.fields) + [StructField(corrupt_col, StringType(), True)])
+        if permissive
+        else schema
+    )
+    reader = spark.read.schema(read_schema)
+    if permissive:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    else:
+        reader = reader.option("mode", "FAILFAST")
+    return reader.json(path)

@@ -53,3 +53,19 @@ def test_dynamic_partition_overwrite(spark, tmp_path_factory):
     # partition values round-trip type-inferred (string -> date)
     got = {(r["v"], str(r["week"])) for r in read_parquet(spark, out).collect()}
     assert got == {(1, "2024-01-07"), (99, "2024-01-14")}
+
+
+def test_read_json_permissive(spark, tmp_path_factory):
+    from mle_proj_datapipeline_spark.sources.readers import read_json
+
+    p = tmp_path_factory.mktemp("json") / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "alice", "score": 10}\n'
+        'not json at all\n'
+        '{"id": 3, "name": "carol", "score": 30}\n'
+    )
+    df = read_json(spark, str(p), SCHEMA).cache()
+    assert df.count() == 3
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert {r["id"] for r in good.collect()} == {1, 3}
