@@ -82,14 +82,30 @@ def compute_means(df: DataFrame, cols: list[str]) -> dict[str, float]:
     return {c: row[c] for c in cols if row[c] is not None}
 
 
-def impute(df: DataFrame, spec: ImputeSpec) -> DataFrame:
+def fit_impute_stats(df: DataFrame, spec: ImputeSpec) -> dict[str, Any]:
+    """Compute the data-dependent fill values (modes + means) once, as a
+    pinnable stats dict. The imputation analogue of the global category
+    dictionary (operators/encode.py): per-batch statistics drift across
+    incremental runs — a week with unusual nulls would silently shift
+    every fill — so streaming/weekly pipelines fit stats on a reference
+    window and apply them to every batch (persist as a tiny JSON/table
+    next to the checkpoint)."""
+    return {**compute_means(df, spec.mean_cols), **compute_modes(df, spec.mode_cols)}
+
+
+def impute(
+    df: DataFrame, spec: ImputeSpec, stats: dict[str, Any] | None = None
+) -> DataFrame:
     """Apply the full spec: flags first (they must see original nulls),
-    then every fill in one projection."""
+    then every fill in one projection. Pass ``stats`` (from
+    ``fit_impute_stats`` on a reference window) to pin mode/mean fills
+    across incremental batches; omit it for whole-dataset batch runs."""
     out = add_missing_flags(df, spec.flag_cols)
-    modes = compute_modes(df, spec.mode_cols)
-    means = compute_means(df, spec.mean_cols)
+    if stats is None:
+        stats = fit_impute_stats(df, spec)
     dtypes = dict(df.dtypes)
     fills: dict[str, F.Column] = {}
-    for c, v in chain(spec.constants.items(), means.items(), modes.items()):
-        fills[c] = F.coalesce(F.col(c), F.lit(v).cast(dtypes[c]))
+    for c, v in chain(spec.constants.items(), stats.items()):
+        if c in dtypes:
+            fills[c] = F.coalesce(F.col(c), F.lit(v).cast(dtypes[c]))
     return out.withColumns(fills)
