@@ -302,3 +302,47 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_payload_ts").alias("n_matched"),
         (F.sum(gap).cast("double") / F.count("click_payload_ts")).alias("avg_gap_secs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event funnel: staged conversion with strict temporal ordering
+# --------------------------------------------------------------------------
+@register(
+    "event_funnel",
+    oracle="""
+    WITH stage AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+               AS clicked_after_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click) AS purchased_after_click
+    FROM stage
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged conversion funnel (view → click → purchase, strictly
+    ordered in event time) — ONE groupBy(user) with conditional-min
+    stage timestamps, one scalar aggregate. The naive form is a 3-way
+    self-join of the events table; this shape scans once and shuffles
+    user-sized rows, not event-sized."""
+    e = load_table(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+    )
