@@ -219,3 +219,36 @@ def run_pipeline(
         "feature_store": spark.read.parquet(f"{out_dir}/gold/feature_store"),
         **{f"silver_{n}": silvers_r[n] for n in silvers_r},
     }
+
+
+def training_frame(
+    spark: SparkSession,
+    warehouse: str,
+    end_week: str,
+    n_weeks: int = 50,
+) -> DataFrame:
+    """Feature ⨝ label training window — the reference's
+    load_data_for_training (utils/model_operations.py:16-56) without the
+    50-path enumeration or the 12-week chunked toPandas loop: one
+    partition-pruned read per store (weeks are partition keys, so the
+    BETWEEN predicate prunes at planning time), one inner join on id.
+
+    The window is (end_week - n_weeks, end_week]: training reads weeks
+    t-50..t-1 relative to a run at week t (utils/dag_functions.py:554-578
+    leak-avoidance semantics). Returns the lazy frame — the ML boundary
+    decides between Arrow toPandas (fits-in-driver) or mapInPandas
+    (per-partition batch scoring)."""
+    import datetime as dt
+
+    end = dt.date.fromisoformat(end_week)
+    start = end - dt.timedelta(weeks=n_weeks)
+    features = spark.read.parquet(f"{warehouse}/gold/feature_store")
+    labels = spark.read.parquet(f"{warehouse}/gold/label_store")
+
+    def in_window(df: DataFrame) -> DataFrame:
+        wk = F.col("snapshot_week").cast("string")
+        return df.filter((wk > str(start)) & (wk <= str(end)))
+
+    return in_window(features).join(
+        in_window(labels).select("id", "grade"), "id", "inner"
+    )

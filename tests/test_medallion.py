@@ -138,3 +138,19 @@ def test_partition_pruning(spark, domain, tmp_path_factory, pipeline_out):
     assert "PartitionFilters" in plan and "snapshot_week" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     wk0 = pruned.count()
     assert 0 < wk0 < ls.count()
+
+
+def test_training_frame_window_and_join(spark, domain, tmp_path_factory, pipeline_out):
+    """Partition-pruned 50-week read + inner feature-label join: rows
+    carry a numeric-only feature matrix plus the grade label, and only
+    weeks inside (end-n, end] appear."""
+    from mle_proj_datapipeline_spark.plans.medallion import training_frame
+
+    wh = pipeline_out[0]
+    tf = training_frame(spark, wh, end_week="2024-02-04", n_weeks=3).cache()
+    assert tf.count() > 0
+    weeks = {str(r["snapshot_week"]) for r in tf.select("snapshot_week").distinct().collect()}
+    assert weeks <= {"2024-01-21", "2024-01-28", "2024-02-04"}
+    assert "grade" in tf.columns and "id" in tf.columns
+    # every id is labeled exactly once (inner join against deduped stores)
+    assert tf.groupBy("id").count().filter("count > 1").count() == 0
