@@ -484,3 +484,66 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("O").alias("o_orderstatus"),
     )
     return merge_upsert(target, updates, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Equal-width histogram (D8-adjacent: distribution profiling)
+# --------------------------------------------------------------------------
+@register(
+    "totalprice_histogram",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT least(CAST(floor((o_totalprice - b.lo) / (b.hi - b.lo) * 10) AS BIGINT) + 1, 10) AS bucket,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders, b GROUP BY 1
+    """,
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bucket histogram: one scalar min/max pass
+    (broadcast as a 1-row frame) + one bucketed aggregation — the
+    distribution profile that feeds drift monitors and Bucketizer-style
+    features without MLlib. The bucket formula is written out (not
+    width_bucket) so both engines evaluate the identical expression;
+    max clamps into the top bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast("long")
+        + 1,
+        F.lit(10).cast("long"),
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates: stddev/variance/correlation/covariance (D6 ext)
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_price_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_discount), 2) AS covar_price_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate family (stddev/variance/correlation/
+    covariance) — all single-pass mergeable aggregates (partial
+    moment-sums combine map-side; no sort, no second scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("covar_price_disc"),
+    )
