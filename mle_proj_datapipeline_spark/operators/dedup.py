@@ -235,6 +235,71 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation: every node repeatedly takes the smallest component id
+    among itself and its neighbors until a fixpoint. Returns
+    ``(node, comp)`` with ``comp`` = smallest node id in the component.
+
+    This turns near-dup PAIRS (MinHash/SimHash output) into near-dup
+    CLUSTERS — the form a training-data pipeline actually consumes
+    (keep one canonical doc per cluster).
+
+    Scale design (100 TB):
+    - Each round is one equi-join shuffle + one partial-aggregated
+      groupBy on node id — no driver materialization; the per-round
+      convergence probe is ``limit(1).count()`` (stops at first diff).
+    - ``localCheckpoint`` truncates lineage so the physical plan stays
+      constant-size across rounds instead of doubling.
+    - Rounds are bounded by component diameter. LSH near-dup graphs are
+      unions of near-cliques (bucket co-membership), so 2-3 rounds in
+      practice; for adversarial chain graphs swap in alternating
+      large-star/small-star (same join primitive, O(log^2 n) rounds).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("b"), F.col("comp").alias("bc")), "b")
+            .groupBy("a")
+            .agg(F.min("bc").alias("nbr_comp"))
+            .select(F.col("a").alias("node"), "nbr_comp")
+        )
+        updated = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.join(labels.select("node", F.col("comp").alias("old")), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -116,6 +116,50 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup: near-dup pairs -> connected-component clusters
+# --------------------------------------------------------------------------
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    h AS (SELECT doc_id, sh, list_transform(sh, s -> {_h31("s")}) AS hs FROM d),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
+    bands AS (
+        SELECT doc_id, t.b AS band_idx,
+               array_to_string(list_slice(sig, t.b*{dd.LSH_ROWS}+1, t.b*{dd.LSH_ROWS}+{dd.LSH_ROWS}), '_') AS band_key
+        FROM sig, range(0, {dd.LSH_BANDS}) t(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b
+        WHERE {_JACCARD} >= 0.5),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(src, node) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+    SELECT src AS doc_id, MIN(node) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs folded into clusters via iterative
+    min-label propagation (operators/dedup.connected_components);
+    cluster_id = smallest doc_id in the component. The oracle computes
+    the same transitive closure with a recursive CTE. This is the
+    consumable dedup artifact: keep one canonical doc per cluster_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+    comps = dd.connected_components(pairs)
+    return comps.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
 # Dedup: blocked exact n-gram Jaccard
 # --------------------------------------------------------------------------
 @register(

@@ -55,3 +55,21 @@ def test_salted_join_equals_plain_join(spark):
         o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], "o_orderkey", 8
     ).select("o_orderkey", "c_mktsegment")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must produce the transitive closure: a
+    4-node chain collapses to one component even though no pair spans
+    it, and disjoint islands keep distinct ids."""
+    from mle_proj_datapipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {(r["node"], r["comp"]) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
