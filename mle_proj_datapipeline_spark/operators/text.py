@@ -6,6 +6,8 @@ oracles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -80,3 +82,47 @@ def doc_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(31) + x) % F.lit(P31),
     )
+
+
+# Character classes for the perplexity-proxy scorer. Each class is a
+# regex over one char; "other" is the complement. The same classes are
+# embedded in the SQL oracle (llm_queries.doc_ppl_scores).
+PPL_CLASSES: tuple[tuple[str, str], ...] = (
+    ("lower", "[a-z]"),
+    ("upper", "[A-Z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ ]"),
+)
+
+
+def ppl_proxy_udf():
+    """Vectorized Arrow pandas UDF: character-class perplexity proxy.
+
+    Score = exp(H) where H is the Shannon entropy (nats) of the
+    document's character-CLASS distribution (lower/upper/digit/space/
+    other). Natural prose lands in a narrow band (mostly lowercase +
+    spaces → low perplexity ≈ 1.5-2.5); boilerplate, code, and
+    mojibake drift high — the cheapest useful stand-in for an LM
+    perplexity filter, and deliberately simple enough to have an EXACT
+    SQL oracle (unlike a real LM).
+
+    This is the quality-classifier slot on the Arrow batch path
+    (roadmap): swap the body for a real model (fasttext/LM scoring)
+    without touching the Spark plumbing — same ``pandas_udf`` shape,
+    same whole-column Arrow transfer, no per-row Python.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ppl(texts: pd.Series) -> pd.Series:
+        n = texts.str.len().to_numpy(dtype="float64")
+        counts = [texts.str.count(rx).to_numpy(dtype="float64") for _, rx in PPL_CLASSES]
+        counts.append(n - np.sum(counts, axis=0))  # "other" complement
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.zeros_like(n)
+            for c in counts:
+                p = np.where(n > 0, c / np.where(n > 0, n, 1.0), 0.0)
+                h -= np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)), 0.0)
+        return pd.Series(np.where(n > 0, np.exp(h), np.nan))
+
+    return ppl

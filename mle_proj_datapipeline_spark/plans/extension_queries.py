@@ -198,6 +198,40 @@ def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GROUPING SETS with grouping_id (D extension, completes rollup/cube family)
+# --------------------------------------------------------------------------
+@register(
+    "priority_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (detail, per-priority subtotal, grand
+    total) in one Expand + one shuffle, with ``grouping_id()`` as the
+    explicit set marker so subtotal NULLs are distinguishable from data
+    NULLs. Completes the rollup/cube/grouping-sets family."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .groupingSets([["priority", "status"], ["priority"], []], "priority", "status")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact distinct cardinalities (D extension: distinct-count family)
 # --------------------------------------------------------------------------
 @register(

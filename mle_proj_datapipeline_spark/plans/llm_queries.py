@@ -497,3 +497,48 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "term", "avg_tfidf", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: perplexity-proxy quality scoring (Arrow pandas-UDF path)
+# --------------------------------------------------------------------------
+_PPL_COUNTS = ", ".join(
+    f"length(regexp_replace(text, '[^{rx[1:-1]}]', '', 'g')) AS k{i}"
+    for i, (_, rx) in enumerate(tx.PPL_CLASSES)
+)
+_PPL_OTHER = "n - " + " - ".join(f"k{i}" for i in range(len(tx.PPL_CLASSES)))
+
+
+def _ppl_term(k: str) -> str:
+    return (
+        f"CASE WHEN {k} > 0 THEN -(CAST({k} AS DOUBLE)/n)*ln(CAST({k} AS DOUBLE)/n) "
+        "ELSE 0 END"
+    )
+
+
+_PPL_H = " + ".join(_ppl_term(f"k{i}") for i in range(len(tx.PPL_CLASSES) + 1))
+
+
+@register(
+    "doc_ppl_scores",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, lang, length(text) AS n, {_PPL_COUNTS} FROM documents),
+    k AS (SELECT *, {_PPL_OTHER} AS k{len(tx.PPL_CLASSES)} FROM c)
+    SELECT doc_id, lang,
+           CASE WHEN n = 0 THEN NULL ELSE round(exp({_PPL_H}), 4) END AS ppl_proxy
+    FROM k
+    """,
+)
+def doc_ppl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy (char-class entropy, operators/
+    text.ppl_proxy_udf) scored through the vectorized Arrow pandas-UDF
+    path — the quality-classifier slot a real LM scorer plugs into. The
+    oracle recomputes the identical entropy from SQL class counts, so
+    the whole Arrow batch pipeline (serialization, null handling,
+    batching) is exact-hash-verified, not just smoke-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = tx.ppl_proxy_udf()
+    return docs.select(
+        "doc_id", "lang", F.round(ppl(F.col("text")), 4).alias("ppl_proxy")
+    )
