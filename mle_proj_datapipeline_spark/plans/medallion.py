@@ -149,8 +149,21 @@ def gold_feature_store(
     - declared-category OHE for verification_status / home_ownership /
       application_type; emp_length native parse; grade → ordinal
     - 4-way LEFT join on (member_id, snapshot_date) — loans is the spine
+    - dimension tables deduped to one row per (member_id, snapshot_date)
+      BEFORE the join with a total-order tiebreak (row-content hash), so
+      the output is deterministic even when a source carries duplicate
+      member rows — an arbitrary-pick here would make incremental
+      per-week builds disagree with full rebuilds
     - keyed dedup on id (window keep-first) — never full-row distinct
     """
+
+    def one_per_member_week(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("member_id", "snapshot_date").orderBy(
+            F.md5(F.to_json(F.struct(*df.columns)))
+        )
+        return df.withColumn("__dk", F.row_number().over(w)).filter(F.col("__dk") == 1).drop("__dk")
+
+    demo, fin, credit = map(one_per_member_week, (demo, fin, credit))
     emp_cats = emp_title_top or top_k_categories(demo, "emp_title", 10)
     d = demo.withColumn("emp_title", normalize_category("emp_title"))
     d = one_hot(d, "emp_title", [c.strip().upper() for c in emp_cats], prefix="emp")
@@ -174,7 +187,9 @@ def gold_feature_store(
         .join(credit, keys, "left")
         .filter(F.col("grade").isNotNull())  # gold_feature_store.py:334
     )
-    w = Window.partitionBy("id").orderBy("snapshot_date")
+    w = Window.partitionBy("id").orderBy(
+        "snapshot_date", F.md5(F.to_json(F.struct(*joined.columns)))
+    )
     deduped = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
     return deduped.drop("__rk", "member_id", "grade")  # keep id + snapshot_week lineage
 

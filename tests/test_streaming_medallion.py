@@ -76,3 +76,76 @@ def test_incremental_silver_stream(spark, loans, tmp_path_factory):
     q = incremental_silver(spark, f"{land}/*", loans.schema, _transform, out, ckpt)
     q.awaitTermination(120)
     assert _collect(spark, out) == full_batch
+
+
+def test_incremental_gold_aligns_sources(spark, tmp_path_factory):
+    """Gold weeks materialize only when all four silver tables have the
+    week (the FileSensor alignment), deferred weeks self-heal when the
+    last source lands, and the final store equals the one-shot batch
+    build."""
+    from mle_proj_datapipeline_spark.plans.medallion import (
+        gold_feature_store,
+        silver_credit_history,
+        silver_demographic,
+        silver_financial,
+        top_k_categories,
+    )
+    from mle_proj_datapipeline_spark.schemas import DOMAIN_TABLES
+    from mle_proj_datapipeline_spark.streaming.gold import incremental_gold, partition_weeks
+
+    silver_root = str(tmp_path_factory.mktemp("silver_root"))
+    gold_root = str(tmp_path_factory.mktemp("gold_root"))
+    ckpt = str(tmp_path_factory.mktemp("gold_ckpt"))
+
+    raw = gen_domain_tables()
+    transforms = {
+        "credit_history": silver_credit_history,
+        "demographic": silver_demographic,
+        "financial": silver_financial,
+        "loan_terms": silver_loan_terms,
+    }
+    silvers = {
+        t: fn(to_bronze(spark.createDataFrame(raw[t], schema=DOMAIN_TABLES[t])))
+        for t, fn in transforms.items()
+    }
+    weeks = sorted(
+        r["snapshot_week"] for r in silvers["loan_terms"].select("snapshot_week").distinct().collect()
+    )
+    cut = weeks[len(weeks) // 2]
+    emp_top = [c.strip().upper() for c in top_k_categories(silvers["demographic"], "emp_title", 10)]
+
+    # wave 1: loan_terms lands in full; the other three only before `cut`
+    for t, df in silvers.items():
+        part = df if t == "loan_terms" else df.filter(F.col("snapshot_week") < cut)
+        part.write.mode("overwrite").partitionBy("snapshot_week").parquet(f"{silver_root}/{t}")
+    incremental_gold(spark, silver_root, gold_root, ckpt, emp_top)
+    assert partition_weeks(spark, f"{gold_root}/feature_store") == {w for w in weeks if w < cut}
+
+    # wave 2: the stragglers land; deferred weeks must now build
+    for t, df in silvers.items():
+        if t != "loan_terms":
+            df.filter(F.col("snapshot_week") >= cut).write.mode("append").partitionBy(
+                "snapshot_week"
+            ).parquet(f"{silver_root}/{t}")
+    incremental_gold(spark, silver_root, gold_root, ckpt, emp_top)
+    assert partition_weeks(spark, f"{gold_root}/feature_store") == set(weeks)
+
+    # parity with the one-shot batch build
+    expected = gold_feature_store(
+        silvers["credit_history"].drop("snapshot_week"),
+        silvers["demographic"].drop("snapshot_week"),
+        silvers["financial"].drop("snapshot_week"),
+        silvers["loan_terms"],
+        emp_title_top=emp_top,
+    )
+    got = spark.read.parquet(f"{gold_root}/feature_store")
+    assert sorted(got.columns) == sorted(expected.columns)
+    cols = ["id", "snapshot_week", "grade_ordinal", "loan_amnt", "emp_length_years"]
+
+    def rows(df):
+        return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+    assert rows(got) == rows(expected)
+
+    # idempotent re-run: checkpoints mean no new files, nothing rebuilt
+    assert incremental_gold(spark, silver_root, gold_root, ckpt, emp_top) == []
