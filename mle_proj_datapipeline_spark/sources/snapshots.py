@@ -1,0 +1,238 @@
+"""Versioned snapshot tables on plain parquet — lakehouse-lite.
+
+The reference's sinks are overwrite-in-place parquet directories
+(utils/process_silver_tables.py:85): a failed rewrite corrupts the
+table and history is gone. This module layers snapshot isolation and
+time travel over parquet with nothing but immutable data files and tiny
+JSON manifests (the container ships no Delta/Iceberg jars; the public
+designs of both inform the layout):
+
+    table_root/
+      _snapshots/v00000017.json   one manifest per committed version:
+                                  {version, timestamp, parent, files[]}
+      data/c17-<uuid>/part-*.parquet   immutable per-commit file sets
+
+- A reader resolves exactly one manifest (latest, by version, or
+  latest-at-timestamp) and scans only the files it lists — data files
+  are never mutated, so every historical version stays readable until
+  expired.
+- A writer stages data files first, then commits by atomically renaming
+  the manifest into place; a crash before the rename leaves the table
+  untouched (readers never see half-written versions). Single-writer
+  semantics — concurrent commits need a real table format's CAS.
+- OVERWRITE lists only new files; APPEND lists parent files + new.
+  MERGE (upsert) and COMPACT (small-file bin-packing) are rewrites
+  committed as new versions, so both are time-travel-safe.
+- All filesystem access goes through the Hadoop FileSystem API of the
+  active session, so the layout works unchanged on HDFS/S3A/local.
+
+Scale notes (100 TB): manifests hold file paths only (KBs per commit);
+the expensive part of a snapshot table — per-file column stats for
+pruning — is delegated to parquet footers, which Spark already reads.
+`compact` exists because streaming/incremental commits accrete small
+files and 100 TB scans pay per-file open costs; `expire` bounds
+storage growth by dropping manifests and any file no live version
+references.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAP_DIR = "_snapshots"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, _ = _fs(spark, path)
+    out = fs.create(_jpath(spark, path), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, jvm = _fs(spark, path)
+    stream = fs.open(_jpath(spark, path))
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def _list(spark: SparkSession, path: str, suffix: str) -> list[str]:
+    fs, _ = _fs(spark, path)
+    jpath = _jpath(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if st.isFile() and st.getPath().getName().endswith(suffix)
+    )
+
+
+def history(spark: SparkSession, root: str) -> list[dict]:
+    """All committed manifests, oldest first."""
+    return [
+        json.loads(_read_text(spark, p))
+        for p in _list(spark, f"{root}/{SNAP_DIR}", ".json")
+    ]
+
+
+def _resolve(
+    spark: SparkSession, root: str, version: int | None, as_of: float | None
+) -> dict:
+    snaps = history(spark, root)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    if version is not None:
+        for s in snaps:
+            if s["version"] == version:
+                return s
+        raise ValueError(f"version {version} not found (have {[s['version'] for s in snaps]})")
+    if as_of is not None:
+        live = [s for s in snaps if s["timestamp"] <= as_of]
+        if not live:
+            raise ValueError(f"no snapshot at or before timestamp {as_of}")
+        return live[-1]
+    return snaps[-1]
+
+
+def write_snapshot(
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    timestamp: float | None = None,
+) -> int:
+    """Commit ``df`` as the next version. ``mode='overwrite'`` replaces
+    the logical table; ``'append'`` adds to it. Data files stage into a
+    fresh per-commit directory; the version becomes visible only at the
+    final atomic manifest rename. Returns the committed version.
+
+    ``timestamp`` orders versions for time travel; pass an explicit
+    event/processing time for reproducible pipelines (defaults to wall
+    clock)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
+    snaps = history(spark, root)
+    parent = snaps[-1] if snaps else None
+    version = (parent["version"] + 1) if parent else 1
+
+    commit_dir = f"{root}/data/c{version}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").parquet(commit_dir)
+    files = _list(spark, commit_dir, ".parquet")
+    if mode == "append" and parent:
+        files = sorted(set(parent["files"]) | set(files))
+
+    if timestamp is None:
+        import time
+
+        timestamp = time.time()
+    if parent and timestamp < parent["timestamp"]:
+        raise ValueError(
+            f"timestamp {timestamp} precedes parent snapshot {parent['timestamp']}"
+        )
+    manifest = {
+        "version": version,
+        "timestamp": timestamp,
+        "parent": parent["version"] if parent else None,
+        "mode": mode,
+        "files": files,
+    }
+    tmp = f"{root}/{SNAP_DIR}/.v{version:08d}.json.tmp"
+    final = f"{root}/{SNAP_DIR}/v{version:08d}.json"
+    _write_text(spark, tmp, json.dumps(manifest))
+    fs, _ = _fs(spark, root)
+    if not fs.rename(_jpath(spark, tmp), _jpath(spark, final)):
+        raise RuntimeError(f"commit rename failed for version {version} (concurrent writer?)")
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Read one table version: latest by default, a pinned ``version``,
+    or time travel to the latest snapshot with timestamp ≤ ``as_of``."""
+    snap = _resolve(spark, root, version, as_of)
+    if not snap["files"]:
+        raise ValueError(f"snapshot v{snap['version']} is empty")
+    return spark.read.parquet(*snap["files"])
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """MERGE INTO as a snapshot commit: upsert ``updates`` into the
+    latest version (operators/joins.merge_upsert semantics) and commit
+    the result as a new version — the pre-merge table remains readable
+    at its old version/timestamp."""
+    from mle_proj_datapipeline_spark.operators.joins import merge_upsert
+
+    merged = merge_upsert(read_snapshot(spark, root), updates, keys, order_col)
+    return write_snapshot(merged, root, mode="overwrite", timestamp=timestamp)
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_files: int,
+    timestamp: float | None = None,
+) -> int:
+    """Bin-pack the latest version into ``target_files`` data files and
+    commit as a new version (rows unchanged). Run after many small
+    incremental commits: scan cost at scale is dominated by per-file
+    opens, and time travel to pre-compaction versions still works
+    because the small files aren't touched until ``expire``."""
+    latest = read_snapshot(spark, root)
+    return write_snapshot(
+        latest.coalesce(target_files), root, mode="overwrite", timestamp=timestamp
+    )
+
+
+def expire(spark: SparkSession, root: str, keep_last: int) -> list[int]:
+    """Drop all but the last ``keep_last`` versions and delete data
+    files no surviving version references (VACUUM). Returns expired
+    version numbers."""
+    snaps = history(spark, root)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    dead, live = snaps[:-keep_last], snaps[-keep_last:]
+    if not dead:
+        return []
+    keep_files = {f for s in live for f in s["files"]}
+    fs, _ = _fs(spark, root)
+    for s in dead:
+        for f in s["files"]:
+            if f not in keep_files:
+                fs.delete(_jpath(spark, f), False)
+        fs.delete(_jpath(spark, f"{root}/{SNAP_DIR}/v{s['version']:08d}.json"), False)
+    return [s["version"] for s in dead]
