@@ -581,3 +581,74 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("covar_price_disc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map Arrow (applyInPandas): per-user OLS value trend
+# --------------------------------------------------------------------------
+@register(
+    "user_value_trend",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+    b AS (
+        SELECT user_id,
+               (sec - min(sec) OVER (PARTITION BY user_id)) / 86400.0 AS x,
+               value AS y
+        FROM s),
+    a AS (
+        SELECT user_id, count(*) AS n, sum(x*y) AS sxy, sum(x) AS sx,
+               sum(y) AS sy, sum(x*x) AS sxx
+        FROM b GROUP BY user_id)
+    SELECT user_id, n,
+           round((sxy - sx*sy/n) / (sxx - sx*sx/n), 4) AS slope_per_day,
+           round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx/n, 4) AS intercept
+    FROM a
+    WHERE n >= 2 AND (sxx - sx*sx/n) != 0
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope/intercept of event value over days-since-first
+    -event, fitted group-at-a-time through the grouped-map Arrow path
+    (operators/grouped.per_user_trend, applyInPandas). The oracle
+    recomputes the identical closed form from SQL moment sums, so the
+    group-shuffle + whole-group-pandas plumbing is exact-hash-verified."""
+    from mle_proj_datapipeline_spark.operators.grouped import per_user_trend
+
+    return per_user_trend(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Percent-of-total window aggregate (F extension: unordered frame)
+# --------------------------------------------------------------------------
+@register(
+    "segment_revenue_share",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment, sum(o.o_totalprice) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1)
+    SELECT segment, round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 4) AS share
+    FROM seg
+    """,
+)
+def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: a whole-relation window aggregate (no
+    partition, no order — a 5-row exchange after the groupBy, not a
+    second scan of orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    seg = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    return seg.select(
+        "segment",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 4).alias("share"),
+    )
