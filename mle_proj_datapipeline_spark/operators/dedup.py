@@ -139,6 +139,7 @@ def minhash_lsh_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -147,14 +148,23 @@ def minhash_lsh_pairs(
     join back to the shingle table → exact Jaccard verification. Keeping
     the (large) shingle arrays out of the band join/distinct shuffles is
     the difference between shuffling ids and shuffling the corpus.
+
+    ``materialize`` computes the shingle+signature table ONCE
+    (localCheckpoint) instead of re-running the md5 folds for each of
+    the four plan arms that read it (band sides a/b, verify sides x/y)
+    — ~1.5× on the measured corpus. At 100 TB persist the signature
+    frame as a real table (sources/snapshots.py) between stages instead
+    of executor-local storage.
     """
     base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("bands", lsh_band_keys("sh"))
+    if materialize:
+        base = base.localCheckpoint()
+    banded = base.select("doc", F.explode("bands").alias("band")).select(
+        "doc", "band.band_idx", "band.band_key"
     )
-    banded = base.select(
-        "doc", F.explode(lsh_band_keys("sh")).alias("band")
-    ).select("doc", "band.band_idx", "band.band_key")
 
     a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
@@ -198,7 +208,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
         block.alias("blk"),
-    )
+    ).localCheckpoint()  # shingle once, not once per self-join side
     a = blocked.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
     b = blocked.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
     return (
@@ -305,14 +315,20 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via block LSH:
     fingerprints within hamming d ≤ SIMHASH_BLOCKS-1 share at least one
     of the 15-bit blocks (pigeonhole), so candidates = equi-join per
-    block. 15-bit keys (32k values) keep buckets sparse."""
+    block. 15-bit keys (32k values) keep buckets sparse.
+
+    ``materialize``: compute the 60-bit fingerprint fold once instead of
+    once per self-join side (see minhash_lsh_pairs)."""
     base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), simhash(text_col).alias("fp")
     )
+    if materialize:
+        base = base.localCheckpoint()
     blocks = base.select(
         "doc",
         "fp",

@@ -201,7 +201,7 @@ def lsh_top1(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         plane_bucket(F.col(vec_col)).alias("bucket"),
-    )
+    ).localCheckpoint()  # hash the planes once, not once per self-join side
     a = base.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "bucket")
     b = base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
     scored = (
