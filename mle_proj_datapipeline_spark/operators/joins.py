@@ -161,3 +161,40 @@ def merge_upsert(
         )
     survivors = target.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
     return survivors.unionByName(updates)
+
+
+def temporal_proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Inner interval join: every (left, right) pair sharing the equality
+    keys with ``right_ts`` in (``left_ts`` − max_gap, ``left_ts``] — the
+    ALL-matches sibling of ``asof_join`` (which keeps only the closest).
+
+    The same expression works on batch AND streaming inputs: on streams,
+    put a watermark on both sides and Spark's stream-stream join uses
+    the range bound to evict state (each side retains at most
+    watermark + max_gap of history — bounded state, unlike an
+    unconstrained stream join which buffers forever).
+
+    Scale: equi-join shuffle on the equality keys; the range predicate
+    is evaluated post-match, so cost is Σ per-key (left × right-in-gap),
+    not a cross join. Hot keys: salt (salted_join) or tighten max_gap.
+    """
+    lft, rgt = left.alias("l"), right.alias("r")
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c not in on
+    ]
+    return lft.join(rgt, cond, "inner").select(*keep)

@@ -346,3 +346,40 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("clicked_after_view"),
         F.count(F.when(purchased, 1)).alias("purchased_after_click"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval (temporal-proximity) join: all clicks within 1h before purchase
+# --------------------------------------------------------------------------
+@register(
+    "purchase_click_window_pairs",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id AS user_id, count(*) AS n_pairs,
+           round(CAST(sum(date_diff('second', c.click_ts, p.ts)) AS DOUBLE) / count(*), 4)
+             AS avg_gap_secs
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.ts
+     AND c.click_ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    """,
+)
+def purchase_click_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL click→purchase attributions within a 1-hour window
+    (operators/joins.temporal_proximity_join) — the batch twin of the
+    watermarked stream-stream interval join
+    (tests/test_streaming.py::test_stream_stream_interval_join runs the
+    SAME operator on two streams and asserts batch parity)."""
+    from mle_proj_datapipeline_spark.operators.joins import temporal_proximity_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
+    pairs = temporal_proximity_join(p, c, on=["user_id"], left_ts="ts", right_ts="click_ts")
+    gap = F.col("ts").cast("long") - F.col("click_ts").cast("long")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(gap).cast("double") / F.count(F.lit(1)), 4).alias("avg_gap_secs"),
+    )

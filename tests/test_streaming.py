@@ -77,3 +77,45 @@ def test_session_windows_run(spark, events_dir):
     rows = spark.table("sessions_mem")
     assert rows.count() > 0
     assert rows.agg(F.sum("n_events")).first()[0] == spark.read.parquet(events_dir).count()
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """The temporal-proximity join runs unchanged on two watermarked
+    streams (Spark's stream-stream join with a range condition) and
+    produces exactly the batch result."""
+    from mle_proj_datapipeline_spark.operators.joins import temporal_proximity_join
+
+    schema = _schema(spark, events_dir)
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+        c = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts")
+        )
+        return p, c
+
+    sp, sc = split(W.file_stream(spark, events_dir, schema))
+    joined = temporal_proximity_join(
+        sp.withWatermark("ts", "2 hours"),
+        sc.withWatermark("click_ts", "2 hours"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    bp, bc = split(spark.read.parquet(events_dir))
+    batch = temporal_proximity_join(bp, bc, on=["user_id"], left_ts="ts", right_ts="click_ts")
+
+    def rows(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    got = rows(spark.sql("SELECT * FROM ss_join_mem"))
+    assert got == rows(batch) and len(got) > 0
