@@ -123,6 +123,7 @@ def write_snapshot(
     root: str,
     mode: str = "overwrite",
     timestamp: float | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next version. ``mode='overwrite'`` replaces
     the logical table; ``'append'`` adds to it. Data files stage into a
@@ -159,6 +160,7 @@ def write_snapshot(
         "parent": parent["version"] if parent else None,
         "mode": mode,
         "files": files,
+        "meta": meta or {},
     }
     tmp = f"{root}/{SNAP_DIR}/.v{version:08d}.json.tmp"
     final = f"{root}/{SNAP_DIR}/v{version:08d}.json"
@@ -236,3 +238,71 @@ def expire(spark: SparkSession, root: str, keep_last: int) -> list[int]:
                 fs.delete(_jpath(spark, f), False)
         fs.delete(_jpath(spark, f"{root}/{SNAP_DIR}/v{s['version']:08d}.json"), False)
     return [s["version"] for s in dead]
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    source_root: str,
+    view_root: str,
+    keys: list[str],
+    sum_cols: list[str],
+    timestamp: float | None = None,
+) -> dict:
+    """Incremental view maintenance for a distributive rollup
+    (count + sums by ``keys``) over an append-only snapshot source.
+
+    Manifests make the delta computable at FILE granularity: the view's
+    last commit records which source files it has absorbed, so a
+    maintenance pass scans only files added since — partial-aggregates
+    the delta, merges it with the current view state (group-by over
+    view ∪ delta-partials: sums and counts are mergeable), and commits
+    the view as a new snapshot. Cost is O(new data + |view|), never
+    O(source history).
+
+    If the source advanced by anything other than appends (overwrite,
+    compaction, expiry), the file delta is not a data delta — the view
+    is rebuilt from the full source (detected, returned as
+    ``mode='rebuild'``). Algebraic finals (avg = sum/n) belong in a
+    reader view; holistic aggregates (median, distinct) are not
+    maintainable this way and must recompute.
+
+    Returns {'mode': 'noop'|'delta'|'rebuild', 'scanned_files': int,
+    'version': int|None}.
+    """
+    import pyspark.sql.functions as F
+
+    src = history(spark, source_root)
+    if not src:
+        raise FileNotFoundError(f"no snapshots under {source_root}")
+    latest = src[-1]
+    view_hist = history(spark, view_root)
+    absorbed = set(view_hist[-1]["meta"].get("source_files", [])) if view_hist else set()
+
+    cur_files = set(latest["files"])
+    new_files = sorted(cur_files - absorbed)
+    removed = absorbed - cur_files
+
+    def partials(df):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"), *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        )
+
+    meta = {"source_files": sorted(cur_files), "source_version": latest["version"]}
+    if removed or (view_hist and not new_files and cur_files != absorbed):
+        merged = partials(read_snapshot(spark, source_root))
+        v = write_snapshot(merged, view_root, timestamp=timestamp, meta=meta)
+        return {"mode": "rebuild", "scanned_files": len(cur_files), "version": v}
+    if view_hist and not new_files:
+        return {"mode": "noop", "scanned_files": 0, "version": None}
+
+    delta = partials(spark.read.parquet(*new_files))
+    if view_hist:
+        prev = read_snapshot(spark, view_root)
+        merged = prev.unionByName(delta).groupBy(*keys).agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    else:
+        merged = delta
+    v = write_snapshot(merged, view_root, timestamp=timestamp, meta=meta)
+    return {"mode": "delta", "scanned_files": len(new_files), "version": v}

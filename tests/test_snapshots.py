@@ -98,3 +98,45 @@ def test_timestamps_must_be_monotonic(spark, root):
     write_snapshot(_df(spark, [(1, "a")]), root, timestamp=100.0)
     with pytest.raises(ValueError):
         write_snapshot(_df(spark, [(2, "b")]), root, timestamp=50.0)
+
+
+def test_maintain_rollup_incremental(spark, root):
+    """The rollup view absorbs only newly committed source files on each
+    maintenance pass, always equals a full recompute, no-ops when the
+    source hasn't moved, and falls back to rebuild after a non-append
+    source change."""
+    from mle_proj_datapipeline_spark.sources.snapshots import maintain_rollup
+
+    src, view = f"{root}/src", f"{root}/view"
+
+    def odf(rows):
+        return spark.createDataFrame(rows, "seg string, price double")
+
+    write_snapshot(odf([("A", 10.0), ("B", 5.0)]), src, timestamp=100.0)
+    r1 = maintain_rollup(spark, src, view, ["seg"], ["price"], timestamp=101.0)
+    assert r1["mode"] == "delta"
+    assert _rows(read_snapshot(spark, view)) == _rows(
+        spark.createDataFrame([("A", 1, 10.0), ("B", 1, 5.0)], "seg string, n long, sum_price double")
+    )
+
+    # append: only the new files are scanned, merge matches full recompute
+    write_snapshot(odf([("A", 2.0), ("C", 7.0)]), src, mode="append", timestamp=200.0)
+    r2 = maintain_rollup(spark, src, view, ["seg"], ["price"], timestamp=201.0)
+    assert r2["mode"] == "delta"
+    n_total = len(history(spark, src)[-1]["files"])
+    assert 0 < r2["scanned_files"] < n_total
+    expected = spark.createDataFrame(
+        [("A", 2, 12.0), ("B", 1, 5.0), ("C", 1, 7.0)], "seg string, n long, sum_price double"
+    )
+    assert _rows(read_snapshot(spark, view)) == _rows(expected)
+
+    # no source movement => noop
+    assert maintain_rollup(spark, src, view, ["seg"], ["price"], timestamp=202.0)["mode"] == "noop"
+
+    # non-append source change (overwrite) => full rebuild
+    write_snapshot(odf([("Z", 1.0)]), src, timestamp=300.0)
+    r4 = maintain_rollup(spark, src, view, ["seg"], ["price"], timestamp=301.0)
+    assert r4["mode"] == "rebuild"
+    assert _rows(read_snapshot(spark, view)) == _rows(
+        spark.createDataFrame([("Z", 1, 1.0)], "seg string, n long, sum_price double")
+    )
