@@ -31,3 +31,36 @@ def write_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_col: str,
+    files_per_partition: int = 1,
+    fmt: str = "parquet",
+) -> None:
+    """Rewrite a Hive-partitioned table so each partition directory holds
+    ``files_per_partition`` data files (small-file compaction for
+    incremental sinks — streaming foreachBatch and weekly re-runs
+    accrete a file per micro-batch per partition).
+
+    One shuffle keyed on (partition value, file slot): every output task
+    holds rows for exactly one target file, and dynamic partition
+    overwrite swaps each directory's contents in place. At 100 TB run it
+    per-partition-range (WHERE week BETWEEN ...) so the rewrite is
+    incremental too; for versioned tables prefer
+    sources/snapshots.compact (time-travel-safe).
+    """
+    import pyspark.sql.functions as F
+
+    df = spark.read.format(fmt).load(path)
+    slot = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition))
+    (
+        df.repartition(F.col(partition_col), slot)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(path)
+    )

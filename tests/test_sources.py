@@ -69,3 +69,26 @@ def test_read_json_permissive(spark, tmp_path_factory):
     assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     good = df.filter(F.col("_corrupt_record").isNull())
     assert {r["id"] for r in good.collect()} == {1, 3}
+
+
+def test_compact_partitioned_in_place(spark, tmp_path):
+    """Compaction collapses each partition dir to one data file without
+    changing rows or partition values."""
+    import glob
+
+    from mle_proj_datapipeline_spark.sources.writers import compact_partitioned
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(200).select(
+        (F.col("id") % 4).cast("string").alias("wk"), F.col("id").alias("v")
+    )
+    df.repartition(8).write.partitionBy("wk").parquet(path)
+    before_files = glob.glob(f"{path}/wk=*/*.parquet")
+    assert len(before_files) > 8  # small-file mess
+
+    compact_partitioned(spark, path, "wk", files_per_partition=1)
+    after_files = glob.glob(f"{path}/wk=*/*.parquet")
+    assert len(after_files) == 4  # one per partition
+    got = sorted(tuple(map(str, r)) for r in spark.read.parquet(path).select("wk", "v").collect())
+    want = sorted(tuple(map(str, r)) for r in df.select("wk", "v").collect())
+    assert got == want
