@@ -542,3 +542,57 @@ def doc_ppl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.round(ppl(F.col("text")), 4).alias("ppl_proxy")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup capstone: the deduplicated corpus itself (one canonical per cluster)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    h AS (SELECT doc_id, sh, list_transform(sh, s -> {_h31("s")}) AS hs FROM d),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
+    bands AS (
+        SELECT doc_id, t.b AS band_idx,
+               array_to_string(list_slice(sig, t.b*{dd.LSH_ROWS}+1, t.b*{dd.LSH_ROWS}+{dd.LSH_ROWS}), '_') AS band_key
+        FROM sig, range(0, {dd.LSH_BANDS}) t(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b
+        WHERE {_JACCARD} >= 0.5),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(src, node) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    clusters AS (
+        SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the near-dup pipeline: the corpus with every
+    near-duplicate cluster collapsed to its canonical (smallest-id)
+    member — pairs → connected components → anti-join of non-canonical
+    members against the corpus. At 100 TB the dropped-id set is tiny
+    relative to the corpus and broadcasts; the corpus itself never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+    comps = dd.connected_components(pairs)
+    dropped = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
