@@ -652,3 +652,62 @@ def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round(F.col("revenue") / F.sum("revenue").over(Window.partitionBy()), 4).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar spine + gap fill + running total (I2/F extension)
+# --------------------------------------------------------------------------
+@register(
+    "weekly_revenue_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('week', min(o_orderdate)) AS lo,
+               date_trunc('week', max(o_orderdate)) AS hi FROM orders),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS wk FROM bounds),
+    weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS wk, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1)
+    SELECT strftime(spine.wk, '%Y-%m-%d') AS week,
+           coalesce(weekly.n_orders, 0) AS n_orders,
+           coalesce(weekly.revenue, 0.0) AS revenue,
+           round(sum(coalesce(weekly.revenue, 0.0))
+                 OVER (ORDER BY spine.wk ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+    FROM spine LEFT JOIN weekly ON spine.wk = weekly.wk
+    """,
+)
+def weekly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense weekly time series from sparse facts: generate the full
+    Monday-week calendar spine (sequence+explode from the min/max
+    bounds — one broadcastable row), left-join weekly revenue, zero-fill
+    gaps, and run a cumulative total over the spine. The gap-filling
+    pattern every panel/forecasting pipeline needs and naive groupBy
+    silently gets wrong (missing weeks vanish instead of reading 0)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.date_trunc("week", F.col("o_orderdate"))
+    weekly = o.groupBy(wk.alias("wk")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    bounds = o.agg(
+        F.date_trunc("week", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("week", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 7 days"))).alias("wk")
+    )
+    joined = spine.join(weekly, "wk", "left").select(
+        "wk",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n_orders",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    )

@@ -98,3 +98,42 @@ def test_week_partitioner_total_and_sunday_anchored(spark, d):
 def test_psi_self_is_zero(spark, vals):
     df = spark.createDataFrame([(v,) for v in vals], ["x"])
     assert psi(df, df, "x").first()["psi"] == 0.0
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=EDGES)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a reference union-find on
+    arbitrary graphs (self-loops, duplicates, chains, cycles)."""
+    from mle_proj_datapipeline_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # canonical root = min node of the component
+    roots: dict[int, int] = {}
+    for n, r in expected.items():
+        roots[r] = min(roots.get(r, n), n)
+    expected = {n: roots[r] for n, r in expected.items()}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == expected
