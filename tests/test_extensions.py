@@ -73,3 +73,29 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_percentile_approx_error_bound(spark):
+    """The documented 100 TB percentile path (percentile_approx) must
+    land within its accuracy contract of the exact quantiles the oracle
+    verifies: with accuracy A, rank error <= n/A."""
+    o = load_table(spark, SF_ORACLE, "customer")
+    n = o.count()
+    accuracy = 1000
+    exact, approx = (
+        o.agg(
+            F.expr(f"percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("q")
+        ).first()["q"],
+        o.agg(
+            F.expr(
+                f"percentile_approx(c_acctbal, array(0.25, 0.5, 0.75), {accuracy})"
+            ).alias("q")
+        ).first()["q"],
+    )
+    vals = sorted(r["c_acctbal"] for r in o.select("c_acctbal").collect())
+    max_rank_err = max(2, (2 * n) // accuracy)
+    for e, a in zip(exact, approx):
+        import bisect
+
+        re_, ra = bisect.bisect_left(vals, e), bisect.bisect_left(vals, a)
+        assert abs(re_ - ra) <= max_rank_err, f"rank error {abs(re_ - ra)} > {max_rank_err}"

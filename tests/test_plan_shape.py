@@ -117,3 +117,32 @@ def test_partial_aggregation_before_shuffle(spark, q):
     exchange = plan.find("Exchange", first_agg)
     second_agg = plan.find("HashAggregate", exchange)
     assert -1 not in (first_agg, exchange, second_agg), plan
+
+
+def test_canonical_corpus_antijoin_broadcasts(spark):
+    """dedup_canonical_corpus: the dropped-id set must broadcast into the
+    anti-join — the corpus itself never shuffles for the final filter."""
+    plan = plan_of(spark, "dedup_canonical_corpus")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), f"anti-join not broadcast\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_spine_and_interval_join_shapes(spark):
+    """Calendar spine and interval join must not degenerate: the spine's
+    bounds row feeds explode (no cartesian against facts); the interval
+    join is an equi-join on user_id with the range as a post-filter."""
+    for q in ["weekly_revenue_spine", "purchase_click_window_pairs"]:
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, f"{q}: cartesian\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan_of(spark, "purchase_click_window_pairs")
+
+
+def test_grouping_sets_single_expand(spark):
+    """ROLLUP/CUBE/GROUPING SETS ride ONE Expand + one aggregation, not a
+    union of per-set aggregations."""
+    for q in ["revenue_rollup", "order_priority_cube", "priority_grouping_sets"]:
+        plan = plan_of(spark, q)
+        assert plan.count("Expand") >= 1, f"{q}: no Expand\n{plan}"
+        assert "Union" not in plan, f"{q}: planned as self-union\n{plan}"
