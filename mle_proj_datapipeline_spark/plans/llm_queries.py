@@ -596,3 +596,36 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Data mixing: deterministic source-balanced downsampling
+# --------------------------------------------------------------------------
+@register(
+    "balanced_corpus_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source),
+    target AS (SELECT min(n) AS m FROM counts)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN counts c ON d.source = c.source, target
+    WHERE ({_h31("CAST(d.doc_id AS VARCHAR)")} % c.n) < target.m
+    """,
+)
+def balanced_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: downsample every source toward the rarest
+    source's size with a PURE-INTEGER hash threshold — keep iff
+    H31(doc_id) mod n_source < n_min, so each source retains ≈ n_min
+    docs in expectation. Deterministic across runs, engines, and
+    cluster layouts (no RNG, no floats anywhere); per-source rates are
+    a 5-row broadcast. The same shape implements any target mixture by
+    replacing n_min with per-source target counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(m))
+        .filter(dd.h31(F.col("doc_id").cast("string")) % F.col("n") < F.col("m"))
+        .select("doc_id", "source")
+    )
