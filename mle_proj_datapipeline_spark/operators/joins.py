@@ -40,6 +40,11 @@ def asof_join(
     right rows with identical timestamps resolve by their sort order —
     add a tiebreak column to ``right_ts`` ordering via a composite column
     if full determinism across equal timestamps is required.
+
+    NULL semantics: the payload is carried as ONE struct, so the whole
+    closest right row is taken atomically — a matched right row whose
+    payload column is NULL yields NULL for that column (merge_asof
+    semantics), never a value inherited from an older/newer right row.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -52,7 +57,7 @@ def asof_join(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0 if right_first else 2).alias("__tag"),
-        *payload,
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
     )
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
@@ -60,15 +65,16 @@ def asof_join(
     base = Window.partitionBy(*on).orderBy("__ts", "__tag")
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        picked = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in payload}
+        picked = F.last(F.col("__payload"), ignorenulls=True).over(w)
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        picked = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in payload}
+        picked = F.first(F.col("__payload"), ignorenulls=True).over(w)
 
     return (
-        unioned.withColumns(picked)
+        unioned.withColumn("__payload", picked)
         .filter(F.col("__tag") == 1)
-        .drop("__ts", "__tag")
+        .withColumns({c: F.col(f"__payload.{c}") for c in payload})
+        .drop("__ts", "__tag", "__payload")
     )
 
 

@@ -70,6 +70,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def parse_byte_size(value: str) -> int:
+    """Parse a Spark byte-size conf string: bare bytes ('134217728') or a
+    k/m/g/t suffix with optional trailing 'b' ('128m', '1gb', '512kb')."""
+    v = value.strip().lower()
+    if v.endswith("b"):
+        v = v[:-1]
+    mult = 1
+    if v and v[-1] in _SIZE_SUFFIX:
+        mult = _SIZE_SUFFIX[v[-1]]
+        v = v[:-1]
+    return int(v) * mult
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Repartition iff the input would scan with fewer partitions than
     the target.
@@ -91,7 +107,7 @@ def ensure_parallelism(df, min_partitions: int | None = None):
         if not files:  # non-file source (e.g. createDataFrame) — exact probe
             raise ValueError("no input files")
         total = sum(os.path.getsize(f) for f in files)
-        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        mpb = parse_byte_size(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         est = max(len(files), total // mpb)
     except (OSError, ValueError):
         est = df.rdd.getNumPartitions()

@@ -73,7 +73,12 @@ def maintain_gold(
     (deferred arrival now complete). Returns the weeks rebuilt."""
     avail = [partition_weeks(spark, f"{silver_root}/{t}") for t in SILVER_TABLES]
     complete = set.intersection(*avail) if avail else set()
-    have = partition_weeks(spark, f"{gold_root}/feature_store")
+    # A week counts as built only when BOTH gold tables have it: a crash
+    # between the feature_store and label_store writes must leave the
+    # week in `target` so the next pass backfills the missing half.
+    have = partition_weeks(spark, f"{gold_root}/feature_store") & partition_weeks(
+        spark, f"{gold_root}/label_store"
+    )
     target = sorted((complete - have) | (set(touched_weeks or ()) & complete))
     if not target:
         return []

@@ -142,7 +142,13 @@ def incremental_silver(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df)
-        out.write.mode("overwrite").partitionBy("snapshot_week").parquet(out_dir)
+        # Explicit writer-level dynamic overwrite: never rely on the
+        # ambient session conf (an external driver's session may lack it,
+        # and a static overwrite would delete every previously written
+        # week instead of just this batch's partitions).
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("snapshot_week").parquet(out_dir)
 
     return (
         file_stream(spark, landing_dir, schema)

@@ -65,6 +65,30 @@ def test_asof_matches_pandas(spark, frames, direction, allow_exact):
     assert got == _pandas_asof(direction, allow_exact)
 
 
+def test_asof_null_payload_atomic(spark):
+    """A matched right row whose payload column is NULL must yield NULL —
+    the whole closest right row is taken atomically, never a per-column
+    mix of different right rows (pandas merge_asof semantics)."""
+    left = spark.createDataFrame([("a", 30, "l")], ["k", "ts", "lval"])
+    right = spark.createDataFrame(
+        [("a", 10, "r10", 1.0), ("a", 25, None, 2.0)],
+        "k string, ts long, payload string, aux double",
+    )
+    [row] = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", direction="backward"
+    ).collect()
+    # Closest right row is ts=25: payload NULL, aux 2.0 — atomically.
+    assert row["payload"] is None and row["aux"] == 2.0
+
+    lp = pd.DataFrame([("a", 30, "l")], columns=["k", "ts", "lval"])
+    rp = pd.DataFrame(
+        [("a", 10, "r10", 1.0), ("a", 25, None, 2.0)],
+        columns=["k", "ts", "payload", "aux"],
+    )
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward").iloc[0]
+    assert pd.isna(ref["payload"]) and ref["aux"] == 2.0
+
+
 def test_range_join_boundaries(spark):
     """Interval endpoints are inclusive; bucket width smaller than the
     interval must not drop spanning matches."""

@@ -92,3 +92,18 @@ def test_compact_partitioned_in_place(spark, tmp_path):
     got = sorted(tuple(map(str, r)) for r in spark.read.parquet(path).select("wk", "v").collect())
     want = sorted(tuple(map(str, r)) for r in df.select("wk", "v").collect())
     assert got == want
+
+
+def test_parse_byte_size_suffixes():
+    """maxPartitionBytes may be set as '128m'/'1gb' etc.; the fast
+    file-metadata path in ensure_parallelism must parse all Spark byte
+    forms rather than silently falling back to the RDD probe."""
+    from mle_proj_datapipeline_spark.session import parse_byte_size
+
+    assert parse_byte_size("134217728") == 134217728
+    assert parse_byte_size("134217728b") == 134217728
+    assert parse_byte_size("128m") == 128 * 1024**2
+    assert parse_byte_size("128MB") == 128 * 1024**2
+    assert parse_byte_size("1g") == 1024**3
+    assert parse_byte_size("512kb") == 512 * 1024
+    assert parse_byte_size(" 2t ") == 2 * 1024**4

@@ -149,3 +149,49 @@ def test_incremental_gold_aligns_sources(spark, tmp_path_factory):
 
     # idempotent re-run: checkpoints mean no new files, nothing rebuilt
     assert incremental_gold(spark, silver_root, gold_root, ckpt, emp_top) == []
+
+
+def test_maintain_gold_backfills_half_written_week(spark, tmp_path_factory):
+    """A crash between the feature_store and label_store writes leaves a
+    week with features but no labels; the next maintenance pass must
+    rebuild it (the 'have' set is the intersection of BOTH gold tables)."""
+    import shutil
+
+    from mle_proj_datapipeline_spark.plans.medallion import (
+        silver_credit_history,
+        silver_demographic,
+        silver_financial,
+        top_k_categories,
+    )
+    from mle_proj_datapipeline_spark.schemas import DOMAIN_TABLES
+    from mle_proj_datapipeline_spark.streaming.gold import maintain_gold, partition_weeks
+
+    silver_root = str(tmp_path_factory.mktemp("silver_root2"))
+    gold_root = str(tmp_path_factory.mktemp("gold_root2"))
+
+    raw = gen_domain_tables()
+    transforms = {
+        "credit_history": silver_credit_history,
+        "demographic": silver_demographic,
+        "financial": silver_financial,
+        "loan_terms": silver_loan_terms,
+    }
+    silvers = {
+        t: fn(to_bronze(spark.createDataFrame(raw[t], schema=DOMAIN_TABLES[t])))
+        for t, fn in transforms.items()
+    }
+    for t, df in silvers.items():
+        df.write.mode("overwrite").partitionBy("snapshot_week").parquet(f"{silver_root}/{t}")
+    emp_top = [c.strip().upper() for c in top_k_categories(silvers["demographic"], "emp_title", 10)]
+
+    built = maintain_gold(spark, silver_root, gold_root, emp_top)
+    assert built, "initial build produced no weeks"
+
+    # Simulate the crash: one week's label partition vanishes.
+    victim = built[0]
+    shutil.rmtree(f"{gold_root}/label_store/snapshot_week={victim}")
+    assert victim not in partition_weeks(spark, f"{gold_root}/label_store")
+
+    rebuilt = maintain_gold(spark, silver_root, gold_root, emp_top)
+    assert victim in rebuilt
+    assert victim in partition_weeks(spark, f"{gold_root}/label_store")
