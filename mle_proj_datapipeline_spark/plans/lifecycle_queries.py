@@ -17,6 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from mle_proj_datapipeline_spark.operators.dedup import P31, h31
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
+from mle_proj_datapipeline_spark.sources.metrics import (
+    stored_metrics,
+    write_registry,
+    read_registry,
+)
 from mle_proj_datapipeline_spark.streaming.lifecycle import (
     F1_THRESHOLD,
     STALE_DAYS,
@@ -76,8 +81,14 @@ def retraining_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retrain/no-retrain decisions per model — the reference's
     `check_retraining_trigger` as a distributed stateful fold
     (applyInPandas per model; streaming twin in streaming/lifecycle.py).
-    The oracle is a recursive CTE: decision t depends on decision t-1."""
-    return decide_batch(weekly_model_metrics(spark, sf_dir))
+    The oracle is a recursive CTE: decision t depends on decision t-1.
+
+    A7 round-trip: the metric panel is PERSISTED to the managed metrics
+    table and read back before the fold — the reference's Postgres
+    write (model_inference_utils.py:97-143) → query
+    (query_model_performance.py) flow, not an in-memory shortcut."""
+    panel = stored_metrics(spark, sf_dir, weekly_model_metrics(spark, sf_dir))
+    return decide_batch(panel)
 
 
 @register(
@@ -105,10 +116,79 @@ def best_model_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel — CTE + ROW_NUMBER shape, deterministic tiebreak."""
     from pyspark.sql import Window
 
-    m = weekly_model_metrics(spark, sf_dir)
+    m = stored_metrics(spark, sf_dir, weekly_model_metrics(spark, sf_dir))
     w = Window.partitionBy("week").orderBy(F.desc("metric"), F.asc("model"))
     return (
         m.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("week", F.col("model").alias("best_model"), F.col("metric").alias("best_metric"))
     )
+
+
+_H31_MODEL_SQL = "(('0x'||substr(md5(model),1,15))::BIGINT % {p})".format(p=P31)
+
+
+@register(
+    "production_model",
+    oracle=f"""
+    WITH w AS (
+        SELECT model, week,
+               round(0.86 + ({_H31_SQL} % 20) / 200.0, 4) AS metric
+        FROM (
+            SELECT DISTINCT o_orderpriority AS model,
+                   strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
+            FROM orders)
+    ),
+    ranked AS (
+        SELECT week, model, metric,
+               row_number() OVER (PARTITION BY week ORDER BY metric DESC, model ASC) AS rk
+        FROM w),
+    best AS (SELECT week, model, metric FROM ranked WHERE rk = 1)
+    SELECT week,
+           model AS prod_model,
+           CAST(row_number() OVER (ORDER BY week) AS INT) AS version,
+           metric AS prod_metric,
+           'depth=' || CAST(3 + {_H31_MODEL_SQL} % 6 AS VARCHAR)
+               || ';lr=0.0' || CAST(1 + {_H31_MODEL_SQL} % 9 AS VARCHAR) AS params,
+           CASE WHEN week = (SELECT max(week) FROM best)
+                THEN 'Production' ELSE 'Archived' END AS stage
+    FROM best
+    """,
+)
+def production_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-registry promotion flow (SURVEY §2 L4; reference
+    dags/dag_functions.py:309-361 initial + :794-848 weekly): each week
+    the best model is registered as the next VERSION and promoted to
+    Production, archiving its predecessor. The registry (version, params,
+    stage) is PERSISTED as a snapshot table and the query returns the
+    read-back table — an MLflow-registry equivalent with time travel.
+    ``params`` are the deterministic hyper-parameters logged at
+    registration (hash-derived here; the slot a real trainer fills)."""
+    from pyspark.sql import Window
+
+    m = stored_metrics(spark, sf_dir, weekly_model_metrics(spark, sf_dir))
+    per_week = Window.partitionBy("week").orderBy(F.desc("metric"), F.asc("model"))
+    best = (
+        m.withColumn("rk", F.row_number().over(per_week))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    hp = h31(F.col("model"))
+    registry = best.select(
+        "week",
+        F.col("model").alias("prod_model"),
+        F.row_number().over(Window.orderBy("week")).alias("version"),
+        F.col("metric").alias("prod_metric"),
+        F.concat(
+            F.lit("depth="),
+            (F.lit(3) + hp % 6).cast("string"),
+            F.lit(";lr=0.0"),
+            (F.lit(1) + hp % 9).cast("string"),
+        ).alias("params"),
+        F.when(
+            F.col("week") == F.max("week").over(Window.partitionBy()),
+            F.lit("Production"),
+        ).otherwise(F.lit("Archived")).alias("stage"),
+    )
+    write_registry(registry, sf_dir)
+    return read_registry(spark, sf_dir)

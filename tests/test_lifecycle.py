@@ -79,3 +79,47 @@ def test_decision_properties(spark, metrics_pdf):
                     assert (wk - last).days >= STALE_DAYS
             if r["reason"] != "none":
                 last = wk
+
+
+def test_metrics_store_roundtrip(spark, tmp_path_factory, monkeypatch):
+    """A7: lifecycle queries read the PERSISTED metrics table — the
+    panel must survive a write→read-back through the snapshot store,
+    version history stays bounded, and a refresh replaces the panel."""
+    import os
+
+    from mle_proj_datapipeline_spark.sources import metrics as M
+    from mle_proj_datapipeline_spark.sources.snapshots import history
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", wh)
+
+    panel = spark.createDataFrame(
+        [("m1", "2024-01-07", 0.91), ("m2", "2024-01-07", 0.88)],
+        "model string, week string, metric double",
+    )
+    got = M.stored_metrics(spark, "/root/testdata/sf0.001", panel)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in panel.collect()}
+    root = os.path.join(wh, "metrics_store_sf0.001")
+    assert os.path.isdir(root)
+
+    # refresh several times: logical table is replaced, history bounded
+    for _ in range(M.KEEP_VERSIONS + 2):
+        M.stored_metrics(spark, "/root/testdata/sf0.001", panel.limit(1))
+    assert M.read_metrics(spark, root).count() == 1
+    assert len(history(spark, root)) <= M.KEEP_VERSIONS
+
+
+def test_production_model_registry_roundtrip(spark, tmp_path_factory, monkeypatch):
+    """L4: production_model returns the read-back registry snapshot —
+    exactly one Production row (the latest week), versions are dense
+    1..n in week order."""
+    from mle_proj_datapipeline_spark.plans.lifecycle_queries import production_model
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("wh2")))
+    rows = production_model(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert sum(r["stage"] == "Production" for r in rows) == 1
+    by_week = sorted(rows, key=lambda r: r["week"])
+    assert [r["version"] for r in by_week] == list(range(1, len(rows) + 1))
+    assert max(by_week, key=lambda r: r["week"])["stage"] == "Production"
+    assert all(r["params"].startswith("depth=") for r in rows)
