@@ -26,7 +26,9 @@ from mle_proj_datapipeline_spark.operators.dedup import h31_py
 from mle_proj_datapipeline_spark.session import ensure_parallelism
 
 EMB_DIM = 64
-NUM_PLANES = 8  # 2^8 = 256 buckets
+NUM_PLANES = 8  # 2^8 = 256 buckets (single-band legacy geometry)
+BANDS = 2  # multi-band LSH: union of per-band bucket candidates
+PLANES_PER_BAND = 8  # 2^b buckets per band; scale with corpus (planes_per_band_for)
 
 
 def hyperplanes(num_planes: int = NUM_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
@@ -189,29 +191,121 @@ def brute_force_topk(
     )
 
 
+def planes_per_band_for(n_rows: int, target_bucket: int = 64) -> int:
+    """Plane count per band sized to the corpus: 2^b buckets per band so
+    the EXPECTED bucket holds ~``target_bucket`` vectors. The within-
+    bucket rerank is then O(n · target_bucket) total instead of
+    O((n/2^b)²) per bucket with a fixed b — the knob that keeps
+    bucketed ANN linear as the corpus grows 100×."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2, n_rows / max(1, target_bucket)))))
+
+
+def materialize(df: DataFrame, snapshot_root: str | None = None) -> DataFrame:
+    """Cut lineage on a computed base table (signatures, buckets).
+
+    Default: ``localCheckpoint`` — executor-local, fine single-node.
+    With ``snapshot_root``: commit via sources/snapshots and read back —
+    the DURABLE path for long multi-stage cluster jobs, where an
+    executor loss must not invalidate the signature table."""
+    if snapshot_root:
+        from mle_proj_datapipeline_spark.sources.snapshots import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        write_snapshot(df, snapshot_root, mode="overwrite")
+        return read_snapshot(df.sparkSession, snapshot_root)
+    return df.localCheckpoint()
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = BANDS,
+    planes_per_band: int | None = PLANES_PER_BAND,
+    k: int = 1,
+    snapshot_root: str | None = None,
+) -> DataFrame:
+    """Multi-band hyperplane LSH top-k: each vector gets ``bands``
+    independent sign-bit bucket keys (``planes_per_band`` planes each);
+    candidate pairs are the union over bands of same-bucket pairs, then
+    an exact cosine rerank picks top-k per query.
+
+    Scale shape (the fix for the fixed-256-bucket geometry):
+    - bucket count per band is 2^planes_per_band; pass
+      ``planes_per_band=None`` to size it from the corpus
+      (planes_per_band_for) so expected bucket size stays constant as
+      the corpus grows — within-bucket work stays linear overall.
+    - candidate generation shuffles (band, key, id) only — ids, not
+      vectors; the distinct-pair dedup collapses multi-band hits before
+      any vector is fetched.
+    - rerank fetches vectors by two hash joins on id (broadcast when the
+      pair set is small), so vector payloads cross the wire once per
+      surviving pair side, not once per band.
+    - multi-band recall: a true neighbor is missed only if it disagrees
+      with the query in EVERY band (P_miss = Π_b (1 - p^planes); more
+      bands → higher recall at constant per-band cost).
+    """
+    one = df.select(id_col, vec_col)
+    if planes_per_band is None:
+        planes_per_band = planes_per_band_for(one.count())
+    all_planes = hyperplanes(bands * planes_per_band)
+    band_cols = [
+        plane_bucket(
+            F.col(vec_col), all_planes[b * planes_per_band : (b + 1) * planes_per_band]
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    base = materialize(
+        ensure_parallelism(one).select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
+        ),
+        snapshot_root,
+    )
+
+    sig = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = sig.select(F.col("vid").alias("query_id"), "band", "key")
+    b_ = sig.select(F.col("vid").alias("neighbor_id"), "band", "key")
+    pairs = (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    qv = base.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    cv = base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        pairs.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    if k == 1:
+        return out.select("query_id", "neighbor_id", "cosine")
+    return out.select("query_id", "neighbor_id", "cosine", "rk")
+
+
 def lsh_top1(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    snapshot_root: str | None = None,
 ) -> DataFrame:
-    """Approximate nearest neighbor per vector: exact cosine rerank within
-    the vector's hyperplane bucket. One shuffle (bucket equi-join); recall
-    < 1 by construction, deterministic by construction."""
-    base = ensure_parallelism(df.select(id_col, vec_col)).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        plane_bucket(F.col(vec_col)).alias("bucket"),
-    ).localCheckpoint()  # hash the planes once, not once per self-join side
-    a = base.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "bucket")
-    b = base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("query_id", "bucket", "neighbor_id", "cosine")
-    )
+    """Approximate nearest neighbor per vector — multi-band hyperplane
+    LSH (lsh_topk, k=1). Kept as the named top-1 entry point."""
+    return lsh_topk(df, id_col, vec_col, k=1, snapshot_root=snapshot_root)

@@ -57,10 +57,10 @@ _SIMHASH_FP = (
 )
 
 
-def _dot_planes_sql(vec: str = "embedding") -> list[str]:
+def _dot_planes_sql(vec: str = "embedding", planes: list[list[float]] | None = None) -> list[str]:
     """One double-fold dot product per hyperplane, same order as Spark."""
     outs = []
-    for p in sim.hyperplanes():
+    for p in planes if planes is not None else sim.hyperplanes():
         lits = "[" + ", ".join(repr(v) for v in p) + "]"
         outs.append(
             f"list_reduce(list_transform(range(1, {sim.EMB_DIM + 1}), "
@@ -69,14 +69,20 @@ def _dot_planes_sql(vec: str = "embedding") -> list[str]:
     return outs
 
 
-_BUCKET = (
-    "("
-    + " + ".join(
-        f"CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END"
-        for j, d in enumerate(_dot_planes_sql())
+def _bucket_sql(planes: list[list[float]] | None = None, vec: str = "embedding") -> str:
+    """Sign-bit bucket id over ``planes`` — DuckDB twin of
+    sim.plane_bucket for an arbitrary plane slice (multi-band LSH)."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END"
+            for j, d in enumerate(_dot_planes_sql(vec, planes))
+        )
+        + ")"
     )
-    + ")"
-)
+
+
+_BUCKET = _bucket_sql()
 
 _COSINE = (
     "list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (acc, v) -> acc + v)"
@@ -371,24 +377,48 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Similarity: hyperplane-LSH bucketed top-1
 # --------------------------------------------------------------------------
+def _lsh_band_planes() -> list[list[list[float]]]:
+    allp = sim.hyperplanes(sim.BANDS * sim.PLANES_PER_BAND)
+    return [
+        allp[b * sim.PLANES_PER_BAND : (b + 1) * sim.PLANES_PER_BAND]
+        for b in range(sim.BANDS)
+    ]
+
+
+_BAND_BUCKETS = [_bucket_sql(p) for p in _lsh_band_planes()]
+
+
 @register(
     "ann_lsh_top1",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+    WITH v AS (SELECT vec_id,
+                      {_BAND_BUCKETS[0]} AS bk0,
+                      {_BAND_BUCKETS[1]} AS bk1
+               FROM embeddings),
+    pairs AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+        FROM v x JOIN v y
+          ON x.vec_id != y.vec_id AND (x.bk0 = y.bk0 OR x.bk1 = y.bk1)),
     scored AS (
-        SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id, {_COSINE} AS cosine
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        SELECT p.query_id, p.neighbor_id, {_COSINE} AS cosine
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id),
     ranked AS (
-        SELECT query_id, bucket, neighbor_id, cosine,
+        SELECT query_id, neighbor_id, cosine,
                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
         FROM scored)
-    SELECT query_id, bucket, neighbor_id, cosine FROM ranked WHERE rk = 1
+    SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk = 1
     """,
 )
 def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via 8 deterministic random-hyperplane sign bits
-    (256 buckets) + exact rerank within bucket — the 100 TB ANN path
-    (equi-join on bucket, no cross join)."""
+    """Approximate NN via MULTI-BAND hyperplane LSH: 2 independent
+    8-plane sign-bit bucket keys per vector, candidates = union of
+    same-bucket pairs across bands (ids-only shuffle + distinct), exact
+    cosine rerank on the surviving pairs. Bucket count per band scales
+    with the corpus via sim.planes_per_band_for — expected bucket size
+    stays constant at 100×, so the within-bucket join never goes
+    quadratic (fix for the fixed-256-bucket round-1 geometry)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_top1(emb)
 

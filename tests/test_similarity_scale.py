@@ -1,0 +1,72 @@
+"""Scale-geometry guarantees for multi-band hyperplane LSH
+(operators/similarity.py): bucket sizes stay bounded as plane count
+scales with the corpus, the corpus-sizing helper behaves, and the
+durable snapshot-materialized path is result-identical to the
+localCheckpoint path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+import mle_proj_datapipeline_spark.operators.similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(512, sim.EMB_DIM))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(512)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>").cache()
+
+
+def _max_bucket(df, planes_per_band: int) -> int:
+    planes = sim.hyperplanes(planes_per_band)
+    bucketed = df.select(sim.plane_bucket(F.col("embedding"), planes).alias("bk"))
+    return bucketed.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+
+
+def test_planes_per_band_for_scales_with_corpus():
+    # expected bucket size constant => plane count grows with log(n)
+    assert sim.planes_per_band_for(1_000, target_bucket=64) < sim.planes_per_band_for(
+        1_000_000, target_bucket=64
+    )
+    # 1M rows / 64-target: 2^b buckets with b = ceil(log2(1M/64)) = 14
+    assert sim.planes_per_band_for(1_000_000, target_bucket=64) == 14
+    assert sim.planes_per_band_for(10, target_bucket=64) >= 4  # floor
+
+
+def test_bucket_bound_shrinks_with_plane_count(vectors):
+    """The round-1 scale defect: fixed plane count => bucket occupancy
+    grows linearly with corpus. With corpus-sized planes the max bucket
+    must be far below the corpus and strictly below the coarse
+    geometry's."""
+    n = vectors.count()
+    coarse = _max_bucket(vectors, 2)  # 4 buckets — the pathological end
+    sized = _max_bucket(vectors, sim.planes_per_band_for(n, target_bucket=16))
+    assert sized < coarse
+    assert sized <= n // 4  # no bucket holds a quadratic-join-sized chunk
+
+
+def test_lsh_topk_snapshot_path_identical(vectors, tmp_path):
+    """Durable materialization (snapshot table instead of
+    localCheckpoint) must not change a single result row."""
+    local = {tuple(r) for r in sim.lsh_topk(vectors).collect()}
+    durable = {
+        tuple(r)
+        for r in sim.lsh_topk(
+            vectors, snapshot_root=str(tmp_path / "lsh_base")
+        ).collect()
+    }
+    assert local == durable and local
+
+
+def test_lsh_topk_autosized_runs(vectors):
+    """planes_per_band=None sizes the geometry from the corpus count and
+    still produces top-1 rows with the exact-rerank contract (cosine in
+    [-1, 1], no self-pairs)."""
+    rows = sim.lsh_topk(vectors, planes_per_band=None).collect()
+    assert rows
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(-1.000001 <= r["cosine"] <= 1.000001 for r in rows)
