@@ -140,6 +140,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     materialize: bool = True,
+    snapshot_root: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -149,19 +150,22 @@ def minhash_lsh_pairs(
     the (large) shingle arrays out of the band join/distinct shuffles is
     the difference between shuffling ids and shuffling the corpus.
 
-    ``materialize`` computes the shingle+signature table ONCE
-    (localCheckpoint) instead of re-running the md5 folds for each of
-    the four plan arms that read it (band sides a/b, verify sides x/y)
-    — ~1.5× on the measured corpus. At 100 TB persist the signature
-    frame as a real table (sources/snapshots.py) between stages instead
-    of executor-local storage.
+    ``materialize`` computes the shingle+signature table ONCE instead of
+    re-running the md5 folds for each of the four plan arms that read it
+    (band sides a/b, verify sides x/y) — ~1.5× on the measured corpus.
+    Default storage is ``localCheckpoint`` (executor-local); pass
+    ``snapshot_root`` to persist the signature table as a real snapshot
+    version instead — the 100 TB path, where an executor loss must not
+    invalidate hours of signature computation (result-identical, tested).
     """
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
     base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).withColumn("bands", lsh_band_keys("sh"))
-    if materialize:
-        base = base.localCheckpoint()
+    if materialize or snapshot_root:
+        base = materialize_frame(base, snapshot_root)
     banded = base.select("doc", F.explode("bands").alias("band")).select(
         "doc", "band.band_idx", "band.band_key"
     )
@@ -185,6 +189,9 @@ def minhash_lsh_pairs(
     )
 
 
+LEN_BAND_WIDTH = 16  # tokens per length band in the composite block key
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -192,23 +199,54 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     block_expr: Column | None = None,
+    len_band_width: int | None = LEN_BAND_WIDTH,
+    max_block: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs within blocks (default: first-k-token
-    prefix). Blocking keeps the self-join linear-ish; at 100 TB pick a
-    block key with bounded bucket sizes (prefix, length band, source).
+    """Exact n-gram Jaccard pairs within blocks.
 
-    The default block is computed from the raw token sequence, not the
+    Default block key is COMPOSITE: (first-k-token prefix, token-count
+    band of ``len_band_width``). The prefix alone has unbounded skew — a
+    boilerplate prefix ("the quick …" across a scraped corpus) collects
+    a hot block whose within-block join is quadratic. The length band
+    splits such a block by size, and near-dups can't straddle many
+    bands: Jaccard ≥ 0.5 forces |A|/|B| ∈ [0.5, 2], so same-length-ish
+    docs land together (boundary-adjacent pairs are the documented
+    recall cost of any blocking key).
+
+    ``max_block`` is the hard skew guard: blocks still exceeding the cap
+    are DROPPED (not exploded) — at corpus scale an over-cap block is
+    template/boilerplate text whose pairs belong to exact dedup, and a
+    single hot block must never hold the job hostage. The cap is part of
+    the operator's declared semantics (the SQL oracle applies the same
+    HAVING), not a silent truncation.
+
+    The block key is computed from the raw token sequence, not the
     distinct shingle array — distinct-array order is engine-specific."""
-    block = (
-        block_expr
-        if block_expr is not None
-        else F.array_join(F.slice(F.split(F.col(text_col), " "), 1, shingle_k), " ")
-    )
+    toks = F.split(F.col(text_col), " ")
+    if block_expr is not None:
+        block = block_expr
+    else:
+        prefix = F.array_join(F.slice(toks, 1, shingle_k), " ")
+        if len_band_width:
+            block = F.concat_ws(
+                "|",
+                prefix,
+                F.floor(F.size(toks) / F.lit(float(len_band_width))).cast("long").cast("string"),
+            )
+        else:
+            block = prefix
     blocked = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
         block.alias("blk"),
     ).localCheckpoint()  # shingle once, not once per self-join side
+    if max_block:
+        wb = Window.partitionBy("blk")
+        blocked = (
+            blocked.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_block)
+            .drop("__bn")
+        )
     a = blocked.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
     b = blocked.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
     return (
@@ -308,6 +346,81 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — public algorithm): converges in O(log² n) rounds on ANY
+    graph shape, including the long chains where plain min-label
+    propagation needs O(diameter) rounds.
+
+    large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u}).
+    small-star(u): connect every neighbor v < u, and u itself, to m.
+    At the fixpoint the edge set is a union of stars centered on each
+    component's minimum node; labels read off as min(neighbor ∪ self).
+
+    Per round: one groupBy-min on node (map-side combinable) + one
+    equi-join + distinct — same primitives as the label-prop kernel, so
+    the 100 TB shuffle story is unchanged; only the ROUND COUNT bound
+    improves. ``stats['rounds']`` reports rounds used (tested ≤ ~log² n
+    on an adversarial path graph). Returns (node, comp)."""
+
+    def sym(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+
+    def mins_of(e: DataFrame) -> DataFrame:
+        return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct().localCheckpoint()
+    )
+    edges = sym(raw).localCheckpoint()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star
+        m = mins_of(edges)
+        j = edges.join(m, "u")
+        large = sym(
+            j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        ).localCheckpoint()
+        # small-star
+        m2 = mins_of(large)
+        j2 = large.join(m2, "u")
+        small = sym(
+            j2.filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+        ).localCheckpoint()
+        unchanged = (
+            small.count() == edges.count()
+            and small.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = small
+        if unchanged:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+    # Nodes seen only in self-loops never enter the (self-loop-free)
+    # edge set — they are their own singleton component.
+    return nodes.join(labels, "u", "left").select(
+        F.col("u").alias("node"), F.coalesce("comp", F.col("u")).alias("comp")
+    )
 
 
 def simhash_pairs(

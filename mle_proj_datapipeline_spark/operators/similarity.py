@@ -203,21 +203,11 @@ def planes_per_band_for(n_rows: int, target_bucket: int = 64) -> int:
 
 
 def materialize(df: DataFrame, snapshot_root: str | None = None) -> DataFrame:
-    """Cut lineage on a computed base table (signatures, buckets).
+    """Cut lineage on a computed base table (signatures, buckets) —
+    see sources/snapshots.materialize_frame for the durable contract."""
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
 
-    Default: ``localCheckpoint`` — executor-local, fine single-node.
-    With ``snapshot_root``: commit via sources/snapshots and read back —
-    the DURABLE path for long multi-stage cluster jobs, where an
-    executor loss must not invalidate the signature table."""
-    if snapshot_root:
-        from mle_proj_datapipeline_spark.sources.snapshots import (
-            read_snapshot,
-            write_snapshot,
-        )
-
-        write_snapshot(df, snapshot_root, mode="overwrite")
-        return read_snapshot(df.sparkSession, snapshot_root)
-    return df.localCheckpoint()
+    return materialize_frame(df, snapshot_root)
 
 
 def lsh_topk(

@@ -154,14 +154,16 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs folded into clusters via iterative
-    min-label propagation (operators/dedup.connected_components);
+    """MinHash-LSH near-dup pairs folded into clusters via alternating
+    large-star/small-star rounds (operators/dedup
+    .connected_components_star, O(log² n) rounds on any graph shape —
+    chains included, unlike plain min-label propagation);
     cluster_id = smallest doc_id in the component. The oracle computes
     the same transitive closure with a recursive CTE. This is the
     consumable dedup artifact: keep one canonical doc per cluster_id."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
-    comps = dd.connected_components(pairs)
+    comps = dd.connected_components_star(pairs)
     return comps.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
@@ -173,19 +175,27 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
         SELECT doc_id, {_SH} AS sh,
-               array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS b
-        FROM documents)
+               array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+                 || '|' ||
+                 CAST(CAST(floor(len(string_split(text, ' ')) / {float(dd.LEN_BAND_WIDTH)}) AS BIGINT) AS VARCHAR)
+                 AS b
+        FROM documents),
+    keep AS (SELECT b FROM d GROUP BY b HAVING count(*) <= 64),
+    dk AS (SELECT d.* FROM d JOIN keep USING (b))
     SELECT x.doc_id AS id_a, y.doc_id AS id_b, {_JACCARD} AS jaccard
-    FROM d x JOIN d y ON x.b = y.b AND x.doc_id < y.doc_id
+    FROM dk x JOIN dk y ON x.b = y.b AND x.doc_id < y.doc_id
     WHERE {_JACCARD} >= 0.5
     """,
 )
 def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard within first-shingle blocks — the
-    non-probabilistic sibling of MinHash LSH (lower recall, zero false
-    negatives within a block)."""
+    """Exact word-3-gram Jaccard within COMPOSITE (prefix, length-band)
+    blocks with a 64-doc block cap — the non-probabilistic sibling of
+    MinHash LSH. The composite key + cap bound per-block join cost, so a
+    boilerplate prefix can't go quadratic at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5, max_block=64
+    )
 
 
 # --------------------------------------------------------------------------

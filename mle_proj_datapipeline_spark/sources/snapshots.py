@@ -240,6 +240,21 @@ def expire(spark: SparkSession, root: str, keep_last: int) -> list[int]:
     return [s["version"] for s in dead]
 
 
+def materialize_frame(df: DataFrame, snapshot_root: str | None = None) -> DataFrame:
+    """Cut lineage on an intermediate frame (signatures, buckets, CC
+    edge sets) that multiple plan arms or iterations re-read.
+
+    Default: ``localCheckpoint`` — cheap, but executor-local; a lost
+    executor invalidates the blocks. With ``snapshot_root``: commit as a
+    snapshot version and read back — the DURABLE path for long
+    multi-stage cluster jobs (fault-tolerant, resumable, shareable
+    across queries)."""
+    if snapshot_root:
+        write_snapshot(df, snapshot_root, mode="overwrite")
+        return read_snapshot(df.sparkSession, snapshot_root)
+    return df.localCheckpoint()
+
+
 def maintain_rollup(
     spark: SparkSession,
     source_root: str,

@@ -137,3 +137,81 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == expected
+
+    from mle_proj_datapipeline_spark.operators.dedup import connected_components_star
+
+    got_star = {r["node"]: r["comp"] for r in connected_components_star(pairs).collect()}
+    assert got_star == expected
+
+
+def test_star_cc_chain_converges_logarithmically(spark):
+    """The adversarial case for min-label propagation: a 1000-node path
+    graph (diameter 999). Large-star/small-star must label it correctly
+    in O(log² n) rounds — far under the diameter bound."""
+    import math
+
+    from mle_proj_datapipeline_spark.operators.dedup import connected_components_star
+
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    labels = connected_components_star(chain, stats=stats).collect()
+    assert len(labels) == n
+    assert all(r["comp"] == 0 for r in labels)
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 3  # ≈ log² head-room
+
+
+def test_ngram_blocking_bounded_under_hot_prefix(spark):
+    """Skew guard (VERDICT r1 defect 2): a corpus where EVERY doc shares
+    the blocking prefix must not form one quadratic block. The composite
+    (prefix, length-band) key splits the hot prefix by size, and the
+    max_block cap hard-drops anything still over budget."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.dedup import (
+        LEN_BAND_WIDTH,
+        ngram_jaccard_pairs,
+    )
+
+    n = 300
+    docs = [
+        (i, "the quick brown " + " ".join(f"w{i}_{j}" for j in range(i % 160 + 1)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    # Composite key: max block is ~n / n_bands, never the whole corpus.
+    toks = F.split(F.col("text"), " ")
+    composite = F.concat_ws(
+        "|",
+        F.array_join(F.slice(toks, 1, 3), " "),
+        F.floor(F.size(toks) / F.lit(float(LEN_BAND_WIDTH))).cast("long").cast("string"),
+    )
+    sizes = [r["count"] for r in df.select(composite.alias("b")).groupBy("b").count().collect()]
+    n_bands = len(sizes)
+    assert n_bands >= 8  # the hot prefix actually split
+    assert max(sizes) <= math.ceil(n / n_bands) + LEN_BAND_WIDTH
+
+    # Cap semantics: capped output is a subset of the uncapped output …
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_block=10).collect()
+    }
+    assert capped <= uncapped
+
+    # … and a corpus that is one giant over-cap block yields nothing
+    # instead of a quadratic join (the hard guard).
+    clones = spark.createDataFrame(
+        [(i, "same exact text here") for i in range(50)], "doc_id int, text string"
+    )
+    assert (
+        ngram_jaccard_pairs(clones, "doc_id", "text", max_block=10).count() == 0
+    )

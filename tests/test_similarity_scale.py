@@ -70,3 +70,20 @@ def test_lsh_topk_autosized_runs(vectors):
     assert rows
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
     assert all(-1.000001 <= r["cosine"] <= 1.000001 for r in rows)
+
+
+def test_minhash_snapshot_path_identical(spark, tmp_path):
+    """Durable signature materialization (snapshot table instead of
+    localCheckpoint) must return the identical near-dup pair set."""
+    from mle_proj_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    local = {tuple(r) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    durable = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", snapshot_root=str(tmp_path / "sigs")
+        ).collect()
+    }
+    assert local == durable and local
