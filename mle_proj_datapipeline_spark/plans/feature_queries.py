@@ -181,3 +181,30 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_byte").alias("min_first_byte"),
         F.sum("checksum_mod").alias("checksum_total"),
     )
+
+
+@register(
+    "image_meta_extract",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(doc_id % 64 + 1 AS INT) AS width,
+           CAST((doc_id * 7) % 48 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path, end to end: build genuine PNG/JPEG
+    payloads per doc (operators/multimodal.attach_synthetic_images —
+    actual encoders, dims arithmetic in doc_id), then recover format and
+    dimensions with the pure-Python header parser via Arrow-batched
+    mapInPandas (decode_image). The oracle predicts what the byte-level
+    parse must find — if the PNG writer or parser drifted by one byte,
+    the hash compare fails."""
+    from mle_proj_datapipeline_spark.operators.multimodal import (
+        attach_synthetic_images,
+        decode_image,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image(attach_synthetic_images(docs))
