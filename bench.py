@@ -42,7 +42,30 @@ HEADLINE = [
     "doc_quality_by_lang",
     "embedding_cosine_neardups",
     "doc_token_stats",
+    "dedup_canonical_corpus",
+    "neardup_clusters",
+    "tfidf_top_terms",
+    "weekly_revenue_spine",
 ]
+
+
+def _prev_round_timings() -> dict[str, float]:
+    """Per-query steady-state timings from the latest BENCH_r*.json in
+    the repo root (empty if none) — enables round-over-round deltas."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as fh:
+            d = json.load(fh)
+        # driver wraps our line under "parsed"
+        d = d.get("parsed", d) if isinstance(d, dict) else {}
+        return dict(d.get("queries", {}))
+    except (OSError, ValueError, AttributeError):
+        return {}
 
 
 def main() -> None:
@@ -78,6 +101,10 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    prev = _prev_round_timings()
+    deltas = {
+        n: round(timings[n] - prev[n], 3) for n in timings if n in prev
+    }
     print(
         json.dumps(
             {
@@ -88,6 +115,7 @@ def main() -> None:
                 "sf": sf,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "delta_vs_prev_round": deltas,
             }
         )
     )
