@@ -669,3 +669,172 @@ def balanced_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dd.h31(F.col("doc_id").cast("string")) % F.col("n") < F.col("m"))
         .select("doc_id", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: docs -> fixed token-budget context windows
+# --------------------------------------------------------------------------
+PACK_BUDGET = 256
+
+
+@register(
+    "context_window_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS toks
+        FROM documents),
+    c AS (
+        SELECT source, doc_id, toks,
+               COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+    SELECT source,
+           CAST(floor(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM c GROUP BY source, pack_id
+    """,
+)
+def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: concatenate each source's docs
+    in doc_id order and cut packs at every PACK_BUDGET cumulative
+    tokens (the concat-and-chunk packing used to fill context windows;
+    a doc straddling the boundary starts the next pack's count — the
+    deterministic, shuffle-free definition both engines share).
+
+    Scale: one window cum-sum per source (single shuffle on source,
+    in-partition sort — same profile as the rolling-frame family), then
+    a partial-agg groupBy. Packing is per-source sequential by
+    definition; at 100 TB sources partition the work, and a finer
+    pre-partitioned pack key (source, day) bounds any one window
+    partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "source",
+        "doc_id",
+        toks.alias("toks"),
+    ).withColumn("cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    return (
+        c.withColumn(
+            "pack_id", F.floor(F.col("cum_before") / F.lit(float(PACK_BUDGET))).cast("long")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrub: regex detection + redaction (counts and redacted length)
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(full_text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(full_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS INT) AS redacted_len
+    FROM aug
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: detect and redact emails and
+    phone numbers with pure regex (JVM-side regexp_count /
+    regexp_replace — no UDF). The fixture corpus carries no PII, so a
+    deterministic email+phone per doc is appended first; the scrub then
+    must find and redact exactly those (oracle checks counts AND the
+    post-redaction byte length, so a lazy/greedy regex drift fails).
+
+    Scale: pure narrow map work, linear; regexes are anchored-free,
+    single-pass RE2-compatible patterns that behave identically in
+    Spark (Java regex) and DuckDB (RE2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(full, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(full, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(full, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-style rules)
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+    s AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(n) AS BIGINT) AS top_n
+        FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           round(n_distinct / CAST(total AS DOUBLE), 4) AS ttr,
+           round(top_n / CAST(total AS DOUBLE), 4) AS top_ratio,
+           CAST(CASE WHEN n_distinct / CAST(total AS DOUBLE) >= 0.3
+                      AND top_n / CAST(total AS DOUBLE) <= 0.2
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s
+    """,
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rule family):
+    type-token ratio and most-common-token share per document; ``keep``
+    drops boilerplate/degenerate docs (ttr < 0.3 or one token > 20%).
+
+    Scale: explode + two partial-agg groupBys keyed on doc_id — shuffle
+    volume is (doc, distinct-token) pairs, and every aggregate is
+    map-side combinable. No per-doc quadratic HOF over the token array
+    (an aggregate-within-transform would re-scan the array per distinct
+    token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    s = counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    ttr = F.col("n_distinct") / F.col("total").cast("double")
+    top = F.col("top_n") / F.col("total").cast("double")
+    return s.select(
+        "doc_id",
+        F.round(ttr, 4).alias("ttr"),
+        F.round(top, 4).alias("top_ratio"),
+        F.when((ttr >= 0.3) & (top <= 0.2), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
+    )
