@@ -146,3 +146,31 @@ def test_grouping_sets_single_expand(spark):
         plan = plan_of(spark, q)
         assert plan.count("Expand") >= 1, f"{q}: no Expand\n{plan}"
         assert "Union" not in plan, f"{q}: planned as self-union\n{plan}"
+
+
+def test_new_corpus_ops_plan_shapes(spark):
+    """Round-2 operators keep their promised shapes: packing and
+    repetition are pure equi-shuffle plans (no joins at all beyond the
+    scan), pii scrub is narrow map work with a pruned scan, and the
+    banded ANN rerank stays equi-join only."""
+    # pii_scrub_stats: no exchange at all — narrow map work end to end.
+    plan = plan_of(spark, "pii_scrub_stats")
+    assert "Exchange" not in plan, f"pii scrub should not shuffle\n{plan}"
+    widths = read_schema_widths(plan)
+    assert widths and max(widths) <= 3, f"scan not pruned: {widths}"
+
+    # doc_repetition_quality: both aggregations partial before shuffle.
+    simple = plan_of(spark, "doc_repetition_quality", mode="simple")
+    first_agg = simple.find("HashAggregate")
+    exchange = simple.find("Exchange", first_agg)
+    second_agg = simple.find("HashAggregate", exchange)
+    assert -1 not in (first_agg, exchange, second_agg), simple
+
+    # context_window_packing: window + agg, no join operators.
+    plan = plan_of(spark, "context_window_packing")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, f"packing grew a {bad}\n{plan}"
+
+    # production_model / image_meta_extract: no cartesian anywhere.
+    for q in ["production_model", "image_meta_extract"]:
+        assert "CartesianProduct" not in plan_of(spark, q), q
