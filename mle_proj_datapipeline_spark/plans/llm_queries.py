@@ -838,3 +838,123 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top, 4).alias("top_ratio"),
         F.when((ttr >= 0.3) & (top <= 0.2), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: shingle-containment of train docs vs benchmark
+# --------------------------------------------------------------------------
+DECON_DF_CAP = 25  # stop-shingles: drop shingles in more docs than this
+DECON_THRESHOLD = 0.1
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SH}) AS s FROM documents),
+    df AS (SELECT s, count(*) AS n FROM sh GROUP BY s),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+             WHERE df.n <= {DECON_DF_CAP}),
+    bench AS (SELECT * FROM kept WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM kept WHERE doc_id % 50 != 0),
+    m AS (SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS hits
+          FROM train t JOIN bench b ON t.s = b.s GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
+    SELECT train_id, bench_id, CAST(hits AS BIGINT) AS hits,
+           round(hits / CAST(sz AS DOUBLE), 4) AS containment
+    FROM m JOIN sizes ON m.train_id = sizes.doc_id
+    WHERE hits / CAST(sz AS DOUBLE) >= {DECON_THRESHOLD}
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs whose distinct
+    word-3-gram containment against any benchmark doc (here the
+    deterministic held-out slice doc_id % 50 == 0) exceeds a threshold
+    — the n-gram-overlap check run before LM training.
+
+    Scale shape: an INVERTED-INDEX equi-join on the shingle (ids only),
+    with a document-frequency stop-shingle cap applied first — the
+    corpus-wide fanout of a hot shingle ("in the the") is bounded by
+    construction, the same skew discipline as the blocked dedup family.
+    Counts then reduce per (train, bench) pair via map-side combinable
+    aggregation; denominators join back from a per-doc size table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    kept = sh.join(df_counts.filter(F.col("n") <= DECON_DF_CAP), "s").select(
+        "doc_id", "s"
+    )
+    is_bench = F.col("doc_id") % 50 == 0
+    bench = kept.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "s")
+    train = kept.filter(~is_bench).select(F.col("doc_id").alias("train_id"), "s")
+    m = train.join(bench, "s").groupBy("train_id", "bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    contain = F.col("hits") / F.col("sz").cast("double")
+    return (
+        m.join(sizes, m.train_id == sizes.doc_id)
+        .filter(contain >= DECON_THRESHOLD)
+        .select("train_id", "bench_id", "hits", F.round(contain, 4).alias("containment"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding centroids per label group (no array re-assembly)
+# --------------------------------------------------------------------------
+@register(
+    "label_embedding_centroids",
+    oracle=f"""
+    WITH e AS (
+        SELECT label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings, range(1, {sim.EMB_DIM + 1}) t(i)),
+    c AS (SELECT label, i, avg(v) AS m, count(*) AS n FROM e GROUP BY label, i),
+    g AS (SELECT i, avg(v) AS gm FROM e GROUP BY i),
+    dots AS (
+        SELECT c.label,
+               max(c.n) AS n_vecs,
+               sum(c.m * g.gm) AS dot,
+               sqrt(sum(c.m * c.m)) AS cn,
+               sqrt(sum(g.gm * g.gm)) AS gn
+        FROM c JOIN g USING (i) GROUP BY c.label)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           round(cn, 4) AS centroid_norm,
+           round(dot / (cn * gn), 4) AS cos_to_global
+    FROM dots
+    """,
+)
+def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids and their cosine against the global
+    centroid — the drift/separability panel for an embedding corpus.
+
+    Scale shape: the vector column is posexploded to (label, dim, value)
+    and every downstream step is a map-side combinable aggregate — the
+    centroid is NEVER re-assembled into an array, so no collect_list
+    ordering hazards and no wide rows through the shuffle; the final
+    cosine folds over a (labels × 64)-row frame joined to a 64-row
+    broadcast global centroid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v0")
+    ).select("label", (F.col("i0") + 1).alias("i"), F.col("v0").cast("double").alias("v"))
+    c = e.groupBy("label", "i").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    g = e.groupBy("i").agg(F.avg("v").alias("gm"))
+    dots = (
+        c.join(F.broadcast(g), "i")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sum(F.col("m") * F.col("gm")).alias("dot"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("cn"),
+            F.sqrt(F.sum(F.col("gm") * F.col("gm"))).alias("gn"),
+        )
+    )
+    return dots.select(
+        "label",
+        "n_vecs",
+        F.round(F.col("cn"), 4).alias("centroid_norm"),
+        F.round(F.col("dot") / (F.col("cn") * F.col("gn")), 4).alias("cos_to_global"),
+    )
