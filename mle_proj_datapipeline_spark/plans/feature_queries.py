@@ -208,3 +208,98 @@ def image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_image(attach_synthetic_images(docs))
+
+
+# --------------------------------------------------------------------------
+# Winsorization: percentile-clamped robust feature stats
+# --------------------------------------------------------------------------
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH b AS (
+        SELECT round(quantile_cont(o_totalprice, 0.01), 4) AS p01,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders),
+    w AS (
+        SELECT o_orderpriority,
+               least(greatest(o_totalprice, p01), p99) AS clamped
+        FROM orders, b)
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(clamped), 2) AS sum_clamped,
+           round(min(clamped), 2) AS min_clamped,
+           round(max(clamped), 2) AS max_clamped
+    FROM w GROUP BY o_orderpriority
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clamping at exact p01/p99) + robust stats
+    per priority — the standard heavy-tail treatment before fitting.
+
+    Scale: the percentile bounds are ONE 1-row aggregate broadcast into
+    a narrow map clamp — the fact table is scanned twice but never
+    shuffled full-width (the group stats shuffle carries partials). At
+    100 TB swap F.percentile for percentile_approx (one pass,
+    mergeable) exactly as the PSI operator documents."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.01)), 4).alias("p01"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.99)), 4).alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select("o_orderpriority", clamped.alias("clamped"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("clamped"), 2).alias("sum_clamped"),
+            F.round(F.min("clamped"), 2).alias("min_clamped"),
+            F.round(F.max("clamped"), 2).alias("max_clamped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Group-wise z-score normalization
+# --------------------------------------------------------------------------
+@register(
+    "zscore_acctbal_by_nation",
+    oracle="""
+    WITH s AS (
+        SELECT c_nationkey,
+               avg(c_acctbal) AS mu,
+               stddev_samp(c_acctbal) AS sigma,
+               count(*) AS n
+        FROM customer GROUP BY c_nationkey)
+    SELECT c.c_custkey,
+           c.c_nationkey,
+           round((c.c_acctbal - s.mu) / s.sigma, 4) AS z
+    FROM customer c JOIN s USING (c_nationkey)
+    WHERE s.n >= 2 AND s.sigma > 0
+    """,
+)
+def zscore_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization — per-nation standardization of
+    a feature before modeling (the distributed form of
+    sklearn's groupby-StandardScaler).
+
+    Scale: group stats are a partial-agg shuffle to ~nations rows,
+    broadcast back into a narrow map transform — the customer table
+    itself never shuffles. Degenerate groups (n < 2 or zero variance)
+    are excluded by declared semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    s = c.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        c.join(F.broadcast(s), "c_nationkey")
+        .filter((F.col("n") >= 2) & (F.col("sigma") > 0))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )
