@@ -162,6 +162,85 @@ def ivf_topk(
     )
 
 
+def kmeans_iterate(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_centroids: list[list[float]] | None = None,
+    iterations: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the real
+    coarse-quantizer trainer the IVF family defers to (closes the
+    "fixed pseudo-random codebook" gap flagged in round 1).
+
+    Fully distributed, NO driver collect: vectors are posexploded once
+    to (vec_id, dim, value) rows; each iteration is
+      assign:  rows ⋈ centroid-rows on dim → per-(vec, cell) L2 partial
+               sums (map-side combinable) → argmin by window,
+      update:  assigned ⋈ rows → per-(cell, dim) mean = new centroids.
+    Centroids live as (cell, dim, value) ROWS throughout — at 100 TB
+    the codebook can exceed a broadcast (k·dim) and nothing here
+    assumes it fits the driver.
+
+    Determinism/oracle parity: H31-derived init, fixed iteration count,
+    centroid means and distances rounded to ``round_to`` decimals each
+    step (both engines round identically, so ulp noise can't flip an
+    argmin; exact ties break by cell ASC). Returns the final
+    assignment: (vec_id, cell, dist_sq)."""
+    init = init_centroids or ivf_centroids()
+    spark = vecs.sparkSession
+    crows = spark.createDataFrame(
+        [
+            (cell + 1, i + 1, float(v))
+            for cell, c in enumerate(init)
+            for i, v in enumerate(c)
+        ],
+        "cell int, i int, m double",
+    )
+    vrows = (
+        ensure_parallelism(vecs.select(id_col, vec_col))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(vec_col).alias("i0", "v0"),
+        )
+        .select(
+            "vid",
+            (F.col("i0") + 1).alias("i"),
+            F.col("v0").cast("double").alias("v"),
+        )
+        .localCheckpoint()
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = (
+            vrows.join(cent, "i")
+            .groupBy("vid", "cell")
+            .agg(
+                F.round(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))), round_to).alias(
+                    "dist_sq"
+                )
+            )
+        )
+        w = Window.partitionBy("vid").orderBy(F.asc("dist_sq"), F.asc("cell"))
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vid", "cell", "dist_sq")
+        )
+
+    cent = crows
+    assigned = assign(cent)
+    for _ in range(iterations - 1):
+        cent = (
+            assigned.join(vrows, "vid")
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg("v"), round_to).alias("m"))
+        )
+        assigned = assign(cent)
+    return assigned
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,

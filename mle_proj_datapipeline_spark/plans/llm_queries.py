@@ -958,3 +958,59 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cn"), 4).alias("centroid_norm"),
         F.round(F.col("dot") / (F.col("cn") * F.col("gn")), 4).alias("cos_to_global"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means coarse quantizer (distributed Lloyd's, unrolled-CTE oracle)
+# --------------------------------------------------------------------------
+def _kmeans_oracle() -> str:
+    init = sim.ivf_centroids()
+    vals = ", ".join(
+        f"({cell + 1}, {i + 1}, {float(v)!r})"
+        for cell, c in enumerate(init)
+        for i, v in enumerate(c)
+    )
+    return f"""
+    WITH c0(cell, i, m) AS (VALUES {vals}),
+    v AS (
+        SELECT vec_id AS vid, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings, range(1, {sim.EMB_DIM + 1}) t(i)),
+    d1 AS (
+        SELECT vid, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
+        FROM v JOIN c0 USING (i) GROUP BY vid, cell),
+    a1 AS (
+        SELECT vid, cell, dist_sq,
+               row_number() OVER (PARTITION BY vid ORDER BY dist_sq ASC, cell ASC) AS rk
+        FROM d1),
+    c1 AS (
+        SELECT cell, i, round(avg(v), 6) AS m
+        FROM (SELECT vid, cell FROM a1 WHERE rk = 1) a JOIN v USING (vid)
+        GROUP BY cell, i),
+    d2 AS (
+        SELECT vid, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
+        FROM v JOIN c1 USING (i) GROUP BY vid, cell),
+    a2 AS (
+        SELECT vid, cell, dist_sq,
+               row_number() OVER (PARTITION BY vid ORDER BY dist_sq ASC, cell ASC) AS rk
+        FROM d2)
+    SELECT cell, count(*) AS n_vecs, round(sum(dist_sq), 4) AS inertia
+    FROM a2 WHERE rk = 1 GROUP BY cell
+    """
+
+
+@register("kmeans_embedding_cells", oracle=_kmeans_oracle())
+def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL k-means coarse-quantizer training (closes the round-1
+    "fixed pseudo-random codebook" gap): two distributed Lloyd
+    iterations from the deterministic H31 init — assign (rows ⋈
+    centroid-rows on dim, argmin), update (per-(cell,dim) means) —
+    with centroids living as ROWS end to end (no driver collect, no
+    broadcast-size assumption on the codebook). The oracle unrolls both
+    iterations as CTEs, so every mean and every argmin is
+    hash-verified. Output: per-cell membership and inertia."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.kmeans_iterate(emb, iterations=2)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("dist_sq"), 4).alias("inertia"),
+    )

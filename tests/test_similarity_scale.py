@@ -87,3 +87,25 @@ def test_minhash_snapshot_path_identical(spark, tmp_path):
         ).collect()
     }
     assert local == durable and local
+
+
+def test_kmeans_inertia_monotone(spark):
+    """Lloyd's guarantee: total inertia is non-increasing per iteration
+    (up to the declared 1e-6 rounding grid)."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def inertia(iters: int) -> float:
+        return (
+            sim.kmeans_iterate(emb, iterations=iters)
+            .agg(F.sum("dist_sq"))
+            .collect()[0][0]
+        )
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    assert i2 <= i1 + 1e-3
+    assert i3 <= i2 + 1e-3
+    assert i2 < i1  # the first update must actually improve on H31 init
