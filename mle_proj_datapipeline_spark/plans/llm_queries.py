@@ -769,7 +769,13 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure narrow map work, linear; regexes are anchored-free,
     single-pass RE2-compatible patterns that behave identically in
     Spark (Java regex) and DuckDB (RE2)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return pii_scrub_frame(load_table(spark, sf_dir, "documents"))
+
+
+def pii_scrub_frame(docs: DataFrame) -> DataFrame:
+    """The scrub projection itself — pure narrow map work, so the SAME
+    expression runs unchanged on a batch frame or a readStream frame
+    (batch/stream parity tested in tests/test_streaming.py)."""
     full = F.concat(
         F.col("text"),
         F.lit(" contact user"),

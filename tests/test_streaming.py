@@ -119,3 +119,26 @@ def test_stream_stream_interval_join(spark, events_dir):
 
     got = rows(spark.sql("SELECT * FROM ss_join_mem"))
     assert got == rows(batch) and len(got) > 0
+
+
+def test_pii_scrub_stream_equals_batch(spark, tmp_path_factory):
+    """The corpus-op family is batch/stream unified: the SAME scrub
+    projection (plans/llm_queries.pii_scrub_frame) runs on a file
+    stream and must emit exactly the batch result."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.plans.llm_queries import pii_scrub_frame
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming.weekly import file_stream, run_to_memory
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    land = str(tmp_path_factory.mktemp("pii_land"))
+    docs.write.mode("overwrite").parquet(land)
+
+    stream = file_stream(spark, land, docs.schema)
+    q = run_to_memory(pii_scrub_frame(stream), "pii_stream", output_mode="append")
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.table("pii_stream").collect()}
+    want = {tuple(r) for r in pii_scrub_frame(docs).collect()}
+    assert got == want and got
