@@ -160,10 +160,7 @@ def minhash_lsh_pairs(
     """
     from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
 
-    base = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("bands", lsh_band_keys("sh"))
+    base = minhash_signature_table(df, id_col, text_col, shingle_k)
     if materialize or snapshot_root:
         base = materialize_frame(base, snapshot_root)
     banded = base.select("doc", F.explode("bands").alias("band")).select(
@@ -190,6 +187,87 @@ def minhash_lsh_pairs(
 
 
 LEN_BAND_WIDTH = 16  # tokens per length band in the composite block key
+
+
+def minhash_signature_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """The (doc, shingles, band-keys) base frame minhash_lsh_pairs
+    builds internally — exposed so it can be persisted as a snapshot
+    table and maintained incrementally."""
+    return (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .withColumn("bands", lsh_band_keys("sh"))
+    )
+
+
+def minhash_lsh_pairs_delta(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    signature_root: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: when a batch of new documents
+    lands, compare them against the corpus WITHOUT re-pairing the
+    corpus with itself.
+
+    The existing corpus's signature table lives as a snapshot
+    (minhash_signature_table → sources/snapshots); this computes
+    signatures only for the new batch, band-joins new × (old ∪ new) —
+    every emitted pair touches ≥ 1 new doc — verifies exact Jaccard,
+    appends the new signatures to the snapshot (the table is ready for
+    the next batch), and returns the new pairs.
+
+    Scale: per-batch cost is O(|batch| signatures + band-join fanout of
+    the batch) — history is touched only through the band equi-join,
+    never re-shingled, never re-paired. Invariant (tested):
+    full-corpus pairs == old-corpus pairs ∪ delta pairs."""
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        materialize_frame,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    spark = new_docs.sparkSession
+    new_base = materialize_frame(
+        minhash_signature_table(new_docs, id_col, text_col, shingle_k)
+    )
+    old_base = read_snapshot(spark, signature_root)
+    all_base = old_base.unionByName(new_base)
+
+    def banded(base: DataFrame, side: str) -> DataFrame:
+        return base.select("doc", F.explode("bands").alias("b")).select(
+            F.col("doc").alias(side), F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_key").alias("band_key"),
+        )
+
+    cand = (
+        banded(new_base, "id_n").join(banded(all_base, "id_o"), ["band_idx", "band_key"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    x = all_base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    y = all_base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    pairs = pairs.localCheckpoint()  # materialize BEFORE the append commit
+    write_snapshot(new_base, signature_root, mode="append")
+    return pairs
 
 
 def ngram_jaccard_pairs(

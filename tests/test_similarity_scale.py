@@ -109,3 +109,48 @@ def test_kmeans_inertia_monotone(spark):
     assert i2 <= i1 + 1e-3
     assert i3 <= i2 + 1e-3
     assert i2 < i1  # the first update must actually improve on H31 init
+
+
+def test_incremental_minhash_delta(spark, tmp_path):
+    """Incremental dedup invariant: full-corpus pairs == old-corpus
+    pairs ∪ delta(new batch) pairs, with every delta pair touching at
+    least one new doc — history is never re-paired."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_delta,
+        minhash_signature_table,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    root = str(tmp_path / "sig_table")
+
+    write_snapshot(minhash_signature_table(old, "doc_id", "text"), root)
+    delta = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_delta(new, "doc_id", "text", root).collect()
+    }
+    old_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(old, "doc_id", "text").collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in delta)
+    assert old_pairs | delta == full
+    assert delta  # the split actually produced cross-batch near-dups
+
+    # the snapshot absorbed the new signatures: table now covers the corpus
+    assert read_snapshot(spark, root).count() == docs.count()
