@@ -78,6 +78,47 @@ def asof_join(
     )
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    salt_from: str,
+    n_salts: int = 16,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Skew-resistant as-of join — the mitigation asof_join's docstring
+    names, as a code path: when one equality key holds a large fraction
+    of the LEFT rows, its single window partition exceeds an executor's
+    sort budget and AQE cannot split a window. Here the left side adds
+    a deterministic salt from ``salt_from`` (a well-distributed left
+    column, e.g. its primary key) and the RIGHT side replicates into
+    every salt bucket, so each (key, salt) window holds the full right
+    history for the key but only ~1/n_salts of the left rows.
+
+    Result-identical to asof_join (tested). Cost: right rows shuffle
+    n_salts× — size n_salts to the observed skew, and only reach for
+    this when a profile shows a hot key (the unsalted form is one
+    cheaper shuffle)."""
+    lt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    )
+    rt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return asof_join(
+        lt,
+        rt,
+        on=on + ["__salt"],
+        left_ts=left_ts,
+        right_ts=right_ts,
+        direction=direction,
+        allow_exact_matches=allow_exact_matches,
+    ).drop("__salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -383,3 +383,57 @@ def purchase_click_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum(gap).cast("double") / F.count(F.lit(1)), 4).alias("avg_gap_secs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix: first-activity-week cohorts × week offsets
+# --------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+        FROM events GROUP BY 1, 2),
+    f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+    SELECT f.cohort,
+           CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(w.wk AS DATE)) // 7 AS INT)
+               AS week_offset,
+           count(DISTINCT w.user_id) AS n_users
+    FROM w JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in every later week they return — the triangle matrix every
+    growth dashboard draws.
+
+    Scale: (user, week) activity pairs are pre-deduped with a
+    partial-agg groupBy (shuffle carries distinct pairs, not raw
+    events); the cohort table is a per-user min re-using the same
+    user-keyed shuffle; offsets are pure arithmetic. The final distinct
+    count is exact for oracle parity — at 100 TB swap
+    approx_count_distinct exactly as the stats family documents."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        e.select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("wk"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    f = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        w.join(f, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

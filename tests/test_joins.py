@@ -119,3 +119,32 @@ def test_merge_upsert_keep_latest(spark):
     }
     # id=2: highest version wins; id=1 survives; id=3 inserted
     assert got == {(1, "old1"), (2, "newB"), (3, "new3")}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_salted_identical(spark, frames, direction):
+    """Salting must not change a single output row — same pandas
+    merge_asof semantics, windows just split by (key, salt)."""
+    from mle_proj_datapipeline_spark.operators.joins import asof_join_salted
+
+    left, right = frames
+    plain = {
+        (r["k"], r["ts"], r["payload"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", direction=direction
+        ).collect()
+    }
+    salted = {
+        (r["k"], r["ts"], r["payload"])
+        for r in asof_join_salted(
+            left,
+            right,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            salt_from="lval",
+            n_salts=4,
+            direction=direction,
+        ).collect()
+    }
+    assert salted == plain and plain
