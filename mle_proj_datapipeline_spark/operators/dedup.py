@@ -432,6 +432,7 @@ def connected_components_star(
     dst: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    snapshot_root: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -448,7 +449,18 @@ def connected_components_star(
     equi-join + distinct — same primitives as the label-prop kernel, so
     the 100 TB shuffle story is unchanged; only the ROUND COUNT bound
     improves. ``stats['rounds']`` reports rounds used (tested ≤ ~log² n
-    on an adversarial path graph). Returns (node, comp)."""
+    on an adversarial path graph). Returns (node, comp).
+
+    ``snapshot_root``: per-round edge sets commit to the snapshot layer
+    instead of executor-local ``localCheckpoint`` — the durable path
+    for long cluster runs (a lost executor costs one round, not the
+    whole iteration history); result-identical (tested)."""
+
+    def cut(df: DataFrame, tag: str, rnd: int) -> DataFrame:
+        from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+        root = f"{snapshot_root}/{tag}_r{rnd}" if snapshot_root else None
+        return materialize_frame(df, root)
 
     def sym(e: DataFrame) -> DataFrame:
         return (
@@ -461,29 +473,37 @@ def connected_components_star(
         return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    nodes = (
-        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct().localCheckpoint()
+    nodes = cut(
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct(), "nodes", 0
     )
-    edges = sym(raw).localCheckpoint()
+    edges = cut(sym(raw), "edges", 0)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         # large-star
         m = mins_of(edges)
         j = edges.join(m, "u")
-        large = sym(
-            j.filter(F.col("v") > F.col("u")).select(
-                F.col("v").alias("u"), F.col("m").alias("v")
-            )
-        ).localCheckpoint()
+        large = cut(
+            sym(
+                j.filter(F.col("v") > F.col("u")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )
+            ),
+            "large",
+            rounds,
+        )
         # small-star
         m2 = mins_of(large)
         j2 = large.join(m2, "u")
-        small = sym(
-            j2.filter(F.col("v") < F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(m2.select("u", F.col("m").alias("v")))
-        ).localCheckpoint()
+        small = cut(
+            sym(
+                j2.filter(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m2.select("u", F.col("m").alias("v")))
+            ),
+            "small",
+            rounds,
+        )
         unchanged = (
             small.count() == edges.count()
             and small.exceptAll(edges).limit(1).count() == 0

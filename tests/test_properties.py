@@ -215,3 +215,19 @@ def test_ngram_blocking_bounded_under_hot_prefix(spark):
     assert (
         ngram_jaccard_pairs(clones, "doc_id", "text", max_block=10).count() == 0
     )
+
+
+def test_star_cc_snapshot_path_identical(spark, tmp_path):
+    """Durable per-round checkpointing must not change the labeling."""
+    from mle_proj_datapipeline_spark.operators.dedup import connected_components_star
+
+    edges = [(1, 2), (2, 3), (4, 5), (6, 6), (7, 8), (8, 9), (9, 10)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {tuple(r) for r in connected_components_star(pairs).collect()}
+    durable = {
+        tuple(r)
+        for r in connected_components_star(
+            pairs, snapshot_root=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert local == durable and local
