@@ -174,3 +174,15 @@ def test_new_corpus_ops_plan_shapes(spark):
     # production_model / image_meta_extract: no cartesian anywhere.
     for q in ["production_model", "image_meta_extract"]:
         assert "CartesianProduct" not in plan_of(spark, q), q
+
+
+def test_shipping_priority_shape(spark):
+    """TPC-H Q3 shape: the segment-filtered customer side must broadcast,
+    the top-10 must be a TakeOrdered (no global sort), and both date
+    filters must reach the scans."""
+    plan = plan_of(spark, "shipping_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
+    assert any("o_orderdate" in ln for ln in pushed), "\n".join(pushed)
+    assert any("l_shipdate" in ln for ln in pushed), "\n".join(pushed)
