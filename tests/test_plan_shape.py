@@ -186,3 +186,14 @@ def test_shipping_priority_shape(spark):
     pushed = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
     assert any("o_orderdate" in ln for ln in pushed), "\n".join(pushed)
     assert any("l_shipdate" in ln for ln in pushed), "\n".join(pushed)
+
+
+def test_kmeans_and_decon_plan_shapes(spark):
+    """The round-2 heavy hitters keep equi-join-only plans: k-means
+    assignment joins on dim, decontamination on shingle, centroids on
+    dim with the 64-row global side broadcast."""
+    for q in ["kmeans_embedding_cells", "benchmark_decontamination", "label_embedding_centroids"]:
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, f"{q}\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q}\n{plan}"
+    assert "BroadcastHashJoin" in plan_of(spark, "label_embedding_centroids")
