@@ -99,3 +99,42 @@ def test_percentile_approx_error_bound(spark):
 
         re_, ra = bisect.bisect_left(vals, e), bisect.bisect_left(vals, a)
         assert abs(re_ - ra) <= max_rank_err, f"rank error {abs(re_ - ra)} > {max_rank_err}"
+
+
+def test_packing_conserves_tokens_and_pack_ids(spark):
+    """context_window_packing invariants: token totals are conserved
+    (no doc dropped or double-packed) and pack ids are dense from 0
+    per source."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.plans.llm_queries import context_window_packing
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    packs = context_window_packing(spark, sf).cache()
+    docs = load_table(spark, sf, "documents")
+
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert packs.agg(F.sum("total_tokens")).collect()[0][0] == total_tokens
+    assert packs.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+    for r in packs.groupBy("source").agg(
+        F.min("pack_id").alias("lo"),
+        F.max("pack_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect():
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1  # dense 0..hi
+
+
+def test_decontamination_flags_only_real_overlap(spark):
+    """Containment is in (0, 1]; a pure containment (benchmark doc
+    cloned into train) must be flagged at 1.0."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.plans.llm_queries import benchmark_decontamination
+
+    rows = benchmark_decontamination(spark, "/root/testdata/sf0.01").collect()
+    assert all(0 < r["containment"] <= 1.0 for r in rows)
+    assert all(r["bench_id"] % 50 == 0 and r["train_id"] % 50 != 0 for r in rows)
