@@ -547,3 +547,112 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (agg-as-filter then enrich)
+# --------------------------------------------------------------------------
+@register(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150)
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(b.qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate lineitem to find big orders (partial
+    agg before the shuffle), then enrich with order/customer rows. The
+    HAVING output is orders-of-interest sized, so both enrichment joins
+    broadcast it — the fact table is scanned once and never re-shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# max_by / arg_max family: latest order per customer without a window
+# --------------------------------------------------------------------------
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    WITH k AS (
+        SELECT *,
+               strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+                   lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord
+        FROM orders)
+    SELECT o_custkey,
+           arg_max(o_orderkey, ord) AS latest_orderkey,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS latest_orderdate,
+           round(arg_max(o_totalprice, ord), 2) AS latest_totalprice
+    FROM k GROUP BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax WITHOUT a window: max_by over a composite (date, key)
+    lexicographic ordering key — one partial-aggregable shuffle instead
+    of a full per-key sort, the cheaper plan when only the argmax row
+    is needed (F1's row_number shape costs a sort; this costs a max).
+    The zero-padded composite keeps ties deterministic in both engines
+    (DuckDB's arg_max takes no struct ordering, so both sides order by
+    the same string)."""
+    o = load_table(spark, sf_dir, "orders")
+    ordkey = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("latest_orderkey"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest_orderdate"),
+        F.round(F.max_by("o_totalprice", ordkey), 2).alias("latest_totalprice"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set-op family: INTERSECT (nations present on both sides of the market)
+# --------------------------------------------------------------------------
+@register(
+    "nations_with_both",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT completes the set-op family (union H1,
+    anti/except via customers_without_orders): nations with at least one
+    customer AND one supplier. Plans as an aggregate + semi-join over
+    pre-distincted sides, not a pairwise comparison."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
