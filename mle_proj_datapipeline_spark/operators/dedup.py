@@ -477,6 +477,7 @@ def connected_components_star(
         raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct(), "nodes", 0
     )
     edges = cut(sym(raw), "edges", 0)
+    edge_count = edges.count()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -504,11 +505,14 @@ def connected_components_star(
             "small",
             rounds,
         )
+        # One count per round (the previous round's count is carried);
+        # the exact exceptAll probe runs only when counts already agree.
+        small_count = small.count()
         unchanged = (
-            small.count() == edges.count()
+            small_count == edge_count
             and small.exceptAll(edges).limit(1).count() == 0
         )
-        edges = small
+        edges, edge_count = small, small_count
         if unchanged:
             break
     if stats is not None:

@@ -192,3 +192,50 @@ def production_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_registry(registry, sf_dir)
     return read_registry(spark, sf_dir)
+
+
+@register(
+    "metrics_time_travel",
+    oracle=f"""
+    WITH w AS (
+        SELECT model, week,
+               round(0.86 + ({_H31_SQL} % 20) / 200.0, 4) AS metric
+        FROM (
+            SELECT DISTINCT o_orderpriority AS model,
+                   strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
+            FROM orders)),
+    cut AS (SELECT min(week) AS lo, max(week) AS hi FROM w)
+    SELECT model, week, metric FROM w, cut WHERE week < hi
+    """,
+)
+def metrics_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL under the hard correctness gate: commit the
+    metrics panel twice — v1 missing the final week, v2 complete — then
+    read **version 1** back. The result must be exactly the panel minus
+    the last week, proving historical versions stay readable and
+    byte-stable after later commits (the lakehouse property the
+    reference's overwrite-in-place sinks lose).
+
+    Scale: version resolution reads one manifest; the v1 read scans
+    only v1's files — time travel costs no extra I/O over a plain read."""
+    import os
+    import shutil
+    import tempfile
+
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    panel = weekly_model_metrics(spark, sf_dir)
+    last = panel.agg(F.max("week").alias("hi"))
+    v1 = panel.join(F.broadcast(last), panel.week < F.col("hi")).select(
+        "model", "week", "metric"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"mt_travel_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_snapshot(v1, root, mode="overwrite")
+    write_snapshot(panel, root, mode="overwrite")
+    return read_snapshot(spark, root, version=1)
