@@ -711,3 +711,27 @@ def weekly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate-sketch path (HLL++) — the declared 100 TB variant of
+# order_cardinalities, registered as a first-class query. No SQL oracle
+# (DuckDB's approx sketch differs bit-wise); the driver records the
+# weaker rows-only check, and tests/test_extensions.py gates relative
+# error against the exact twin.
+# --------------------------------------------------------------------------
+@register("approx_order_cardinalities")
+def approx_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct counts (rsd=0.01) — mergeable one-pass sketches,
+    the plan that replaces exact Expand-based count-distinct at 100 TB
+    (exact distinct needs a full shuffle per distinct set; sketches
+    combine map-side and merge in O(sketch) per partition)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers"),
+        F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("n_priorities"),
+        F.approx_count_distinct(
+            F.date_trunc("month", "o_orderdate").cast("date"), rsd=0.01
+        ).alias("n_months"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -240,6 +240,69 @@ def expire(spark: SparkSession, root: str, keep_last: int) -> list[int]:
     return [s["version"] for s in dead]
 
 
+def zorder_value(cols: list[str], bits: int = 12) -> "Column":
+    """Morton (z-curve) key: interleave the low ``bits`` bits of the
+    given integer columns — bit j of column i lands at position
+    j*len(cols)+i. Rows close on the curve are close in EVERY listed
+    dimension, which is what makes multi-column min/max pruning work."""
+    import pyspark.sql.functions as F
+
+    terms = [
+        f"((((`{c}`) >> {j}) & 1) << {j * len(cols) + i})"
+        for i, c in enumerate(cols)
+        for j in range(bits)
+    ]
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+def cluster_snapshot(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    bits: int = 12,
+    n_files: int = 8,
+    timestamp: float | None = None,
+) -> int:
+    """Z-ORDER the latest version and commit the re-clustered layout as
+    a new version (rows unchanged — like ``compact``, but the file
+    layout now serves MULTI-column predicates: each column is min-max
+    scaled to ``bits`` bits, rows sort by the interleaved Morton key,
+    and ``repartitionByRange`` gives files disjoint z-ranges, so every
+    listed column's per-file min/max spans shrink and parquet
+    footer/row-group pruning can skip files for predicates on ANY of
+    the clustered columns, not just the first sort key.
+
+    Scale: one range-shuffle of the table (same cost class as compact);
+    the min/max scan is a 1-row aggregate. Run it like compaction —
+    after heavy appends, not per commit."""
+    import pyspark.sql.functions as F
+
+    df = read_snapshot(spark, root)
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    scaled = df
+    zcols = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        span = (hi - lo) or 1
+        zc = f"__zs_{c}"
+        scaled = scaled.withColumn(
+            zc,
+            F.floor((F.col(c).cast("double") - float(lo)) / float(span) * top).cast("long"),
+        )
+        zcols.append(zc)
+    out = (
+        scaled.withColumn("__z", zorder_value(zcols, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *zcols)
+    )
+    return write_snapshot(out, root, mode="overwrite", timestamp=timestamp)
+
+
 def materialize_frame(df: DataFrame, snapshot_root: str | None = None) -> DataFrame:
     """Cut lineage on an intermediate frame (signatures, buckets, CC
     edge sets) that multiple plan arms or iterations re-read.

@@ -138,3 +138,20 @@ def test_decontamination_flags_only_real_overlap(spark):
     rows = benchmark_decontamination(spark, "/root/testdata/sf0.01").collect()
     assert all(0 < r["containment"] <= 1.0 for r in rows)
     assert all(r["bench_id"] % 50 == 0 and r["train_id"] % 50 != 0 for r in rows)
+
+
+def test_approx_cardinalities_within_rsd(spark):
+    """The sketch query must land within ~3x the declared rsd of its
+    exact oracle-gated twin on every column (HLL++ error bound)."""
+    from mle_proj_datapipeline_spark.plans.extension_queries import (
+        approx_order_cardinalities,
+        order_cardinalities,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = order_cardinalities(spark, sf).collect()[0]
+    approx = approx_order_cardinalities(spark, sf).collect()[0]
+    for col in ["n_customers", "n_priorities", "n_months"]:
+        rel = abs(approx[col] - exact[col]) / max(1, exact[col])
+        assert rel <= 0.03, f"{col}: approx {approx[col]} vs exact {exact[col]}"
+    assert approx["n_orders"] == exact["n_orders"]  # plain count is exact

@@ -140,3 +140,47 @@ def test_maintain_rollup_incremental(spark, root):
     assert _rows(read_snapshot(spark, view)) == _rows(
         spark.createDataFrame([("Z", 1, 1.0)], "seg string, n long, sum_price double")
     )
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from mle_proj_datapipeline_spark.sources.snapshots import zorder_value
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    [r] = df.select(zorder_value(["x", "y"], bits=3).alias("z")).collect()
+    # x bits (j at 2j): 1@0, 0@2, 1@4 ; y bits (j at 2j+1): 1@1, 1@3, 0@5
+    assert r["z"] == (1 << 0) + (1 << 4) + (1 << 1) + (1 << 3)
+
+
+def test_cluster_snapshot_zorder_layout(spark, tmp_path):
+    """Rows survive re-clustering, and the layout serves BOTH columns:
+    per-file min/max spans of x AND y shrink versus the unclustered
+    write (what lets footer pruning skip files on either predicate)."""
+    import pyarrow.parquet as pq
+
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        cluster_snapshot,
+        history,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    n = 4096
+    rows = [(i, (i * 2654435761) % n, (i * 40503) % n) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    root = str(tmp_path / "ztab")
+    write_snapshot(df.repartition(8), root)
+
+    def avg_file_span(col: str) -> float:
+        files = history(spark, root)[-1]["files"]
+        spans = []
+        for f in files:
+            t = pq.read_table(f.removeprefix("file:"), columns=[col])[col].to_pylist()
+            spans.append(max(t) - min(t))
+        return sum(spans) / len(spans)
+
+    before_x, before_y = avg_file_span("x"), avg_file_span("y")
+    cluster_snapshot(spark, root, ["x", "y"], bits=12, n_files=8)
+    assert {tuple(r) for r in read_snapshot(spark, root).collect()} == set(rows)
+    after_x, after_y = avg_file_span("x"), avg_file_span("y")
+    # hash-scattered layout spans ~the full domain; z-order must shrink BOTH
+    assert after_x < before_x * 0.6 and after_y < before_y * 0.6
