@@ -229,9 +229,9 @@ def run_pipeline(
         "loan_terms": silver_loan_terms(to_bronze(bronze["loan_terms"], week_start)),
     }
     for name, df in silvers.items():
-        df.write.mode("overwrite").partitionBy("snapshot_week").parquet(
-            f"{out_dir}/silver/{name}"
-        )
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("snapshot_week").parquet(f"{out_dir}/silver/{name}")
     silvers_r = {n: spark.read.parquet(f"{out_dir}/silver/{n}") for n in silvers}
 
     labels = gold_label_store(silvers_r["loan_terms"])
@@ -243,10 +243,12 @@ def run_pipeline(
     )
     labels.withColumn("snapshot_week", week_of(F.col("snapshot_date"))).write.mode(
         "overwrite"
-    ).partitionBy("snapshot_week").parquet(f"{out_dir}/gold/label_store")
-    features.write.mode("overwrite").partitionBy("snapshot_week").parquet(
-        f"{out_dir}/gold/feature_store"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("snapshot_week").parquet(
+        f"{out_dir}/gold/label_store"
     )
+    features.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("snapshot_week").parquet(f"{out_dir}/gold/feature_store")
     return {
         "label_store": spark.read.parquet(f"{out_dir}/gold/label_store"),
         "feature_store": spark.read.parquet(f"{out_dir}/gold/feature_store"),

@@ -22,13 +22,16 @@ def write_partitioned(
 ) -> None:
     """Idempotent partition-overwrite write.
 
-    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
-    the session factory) so ``mode="overwrite"`` replaces only the
-    partitions present in ``df`` — the engine's equivalent of the
-    reference's per-week overwrite semantics.
+    Dynamic partition overwrite is set ON THE WRITER (never trusted to
+    ambient session conf — a session lacking it would statically
+    overwrite and delete every other partition), so ``mode="overwrite"``
+    replaces only the partitions present in ``df`` — the engine's
+    equivalent of the reference's per-week overwrite semantics.
     """
     writer = df.write.mode(mode).format(fmt)
     if partition_cols:
+        if mode == "overwrite":
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
 
