@@ -142,3 +142,55 @@ def test_pii_scrub_stream_equals_batch(spark, tmp_path_factory):
     got = {tuple(r) for r in spark.table("pii_stream").collect()}
     want = {tuple(r) for r in pii_scrub_frame(docs).collect()}
     assert got == want and got
+
+
+def test_incremental_corpus_ingestion(spark, tmp_path_factory):
+    """Streaming corpus ingestion: two overlapping waves land; the sink
+    must hold exactly the quality-kept, exact-deduped canonical set of
+    the union — and a checkpointed re-run adds nothing."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.dedup import exact_dedup
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming.corpus import (
+        incremental_corpus,
+        quality_keep,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    land = str(tmp_path_factory.mktemp("corpus_land"))
+    sink = str(tmp_path_factory.mktemp("corpus_sink") / "corpus")
+    ckpt = str(tmp_path_factory.mktemp("corpus_ckpt"))
+
+    wave1 = docs.filter(F.col("doc_id") % 3 != 0)
+    wave2 = docs.filter(F.col("doc_id") % 3 != 1)  # overlaps wave1
+    wave1.coalesce(1).write.mode("overwrite").parquet(f"{land}/w1")
+    incremental_corpus(spark, f"{land}/*", sink, ckpt, docs.schema).awaitTermination(120)
+    wave2.coalesce(1).write.mode("overwrite").parquet(f"{land}/w2")
+    incremental_corpus(spark, f"{land}/*", sink, ckpt, docs.schema).awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+
+    union = wave1.unionByName(wave2)
+    expected_all = exact_dedup(
+        quality_keep(union).filter(F.col("keep")), "text", ["doc_id"]
+    )
+    # same content set; doc_id may differ when waves disagree on which
+    # duplicate arrived first, so compare by content hash
+    got_hashes = {
+        r["content_hash"] for r in spark.read.parquet(sink).select("content_hash").collect()
+    }
+    want_hashes = {
+        r["h"] for r in expected_all.select(F.md5("text").alias("h")).collect()
+    }
+    assert got_hashes == want_hashes and got_hashes
+    # no content hash appears twice in the sink
+    assert spark.read.parquet(sink).groupBy("content_hash").count().filter(
+        "count > 1"
+    ).count() == 0
+
+    # idempotent re-run: checkpoint means no new files, sink unchanged
+    n_before = spark.read.parquet(sink).count()
+    incremental_corpus(spark, f"{land}/*", sink, ckpt, docs.schema).awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n_before
+    assert got  # sanity: the sink is non-trivial
