@@ -46,6 +46,10 @@ HEADLINE = [
     "neardup_clusters",
     "tfidf_top_terms",
     "weekly_revenue_spine",
+    "kmeans_embedding_cells",
+    "benchmark_decontamination",
+    "context_window_packing",
+    "shipping_priority",
 ]
 
 

@@ -155,3 +155,27 @@ def test_approx_cardinalities_within_rsd(spark):
         rel = abs(approx[col] - exact[col]) / max(1, exact[col])
         assert rel <= 0.03, f"{col}: approx {approx[col]} vs exact {exact[col]}"
     assert approx["n_orders"] == exact["n_orders"]  # plain count is exact
+
+
+def test_quality_keep_agrees_with_repetition_query(spark):
+    """Two independent implementations of the Gopher rules — the
+    explode+groupBy batch query and the expression-only streaming
+    variant — must produce identical ttr/top_ratio/keep per doc."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.plans.llm_queries import doc_repetition_quality
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming.corpus import quality_keep
+
+    sf = "/root/testdata/sf0.01"
+    batch = {
+        r["doc_id"]: (r["ttr"], r["top_ratio"], r["keep"])
+        for r in doc_repetition_quality(spark, sf).collect()
+    }
+    stream_style = {
+        r["doc_id"]: (r["ttr"], r["top_ratio"], 1 if r["keep"] else 0)
+        for r in quality_keep(load_table(spark, sf, "documents"))
+        .select("doc_id", "ttr", "top_ratio", "keep")
+        .collect()
+    }
+    assert stream_style == batch
