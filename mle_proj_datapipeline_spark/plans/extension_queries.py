@@ -735,3 +735,88 @@ def approx_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_months"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic list aggregation: sort_array(collect_list) -> string
+# --------------------------------------------------------------------------
+@register(
+    "nation_top_customers_list",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey, c_name,
+               row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        FROM customer)
+    SELECT c_nationkey AS nationkey,
+           array_to_string(list_sort(list(c_name)), ',') AS top_customers
+    FROM ranked WHERE rk <= 3 GROUP BY c_nationkey
+    """,
+)
+def nation_top_customers_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation done deterministically: collect_list order is
+    execution-dependent (the classic silent flake), so the engine's
+    contract is sort_array(collect_list(...)) and a string join —
+    hash-stable across engines, partitionings, and retries. Top-3 per
+    nation by (acctbal DESC, custkey ASC) total order."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias(
+                "top_customers"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fulfillment lag: per-order date arithmetic joined to line items
+# --------------------------------------------------------------------------
+@register(
+    "order_fulfillment_lag",
+    oracle="""
+    WITH lag AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS days_to_last_ship
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate)
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(min(days_to_last_ship) AS BIGINT) AS min_lag,
+           CAST(max(days_to_last_ship) AS BIGINT) AS max_lag,
+           round(avg(days_to_last_ship), 4) AS avg_lag
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment lag distribution per priority: the
+    orders⨝lineitem shuffle happens once on orderkey with a partial
+    max per order, then a tiny re-aggregation by priority — date
+    arithmetic (datediff) stays JVM-side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias(
+                "days_to_last_ship"
+            ),
+        )
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("days_to_last_ship").cast("long").alias("min_lag"),
+        F.max("days_to_last_ship").cast("long").alias("max_lag"),
+        F.round(F.avg("days_to_last_ship"), 4).alias("avg_lag"),
+    )
