@@ -820,3 +820,66 @@ def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("days_to_last_ship").cast("long").alias("max_lag"),
         F.round(F.avg("days_to_last_ship"), 4).alias("avg_lag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency binning (ntile) — the discretizer the histogram lacks
+# --------------------------------------------------------------------------
+@register(
+    "acctbal_decile_stats",
+    oracle="""
+    WITH b AS (
+        SELECT c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+        FROM customer)
+    SELECT decile, count(*) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM b GROUP BY decile
+    """,
+)
+def acctbal_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization via ntile over a TOTAL order
+    (value, key tiebreak — without it ntile's bin boundaries are
+    execution-dependent on ties). Complements the equi-width
+    totalprice_histogram. Global-sort window: at 100 TB compute decile
+    edges with percentile_approx and bin by range instead (one pass,
+    no global sort) — this exact form is the oracle-checkable twin."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation / covariance aggregates per group
+# --------------------------------------------------------------------------
+@register(
+    "price_qty_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (Pearson corr, sample covariance) per group
+    — single partial-aggregable shuffle; the moment sums are mergeable,
+    so the same plan holds at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_cov"),
+    )

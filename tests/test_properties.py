@@ -231,3 +231,34 @@ def test_star_cc_snapshot_path_identical(spark, tmp_path):
         ).collect()
     }
     assert local == durable and local
+
+
+@SLOW
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+)
+def test_packing_matches_python_reference(spark, toks):
+    """Window cum-sum packing must agree with the obvious sequential
+    Python fold for any token-length sequence (single source)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    budget = 50
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id int, toks int")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in df.withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum("toks").over(w), F.lit(0)) / F.lit(float(budget))
+            ).cast("long"),
+        ).collect()
+    }
+    cum = 0
+    want = {}
+    for i, n in rows:
+        want[i] = cum // budget
+        cum += n
+    assert got == want
