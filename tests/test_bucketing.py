@@ -69,3 +69,46 @@ def test_pinned_impute_stats_stable_across_batches(spark):
     assert out.filter(F.col("lang").isNull()).count() == 0
     filled = out.filter(F.col("lang_missing") == 1).select("lang").distinct().collect()
     assert {r["lang"] for r in filled} == {stats["lang"]}
+
+
+def test_bucketed_band_self_join_has_no_exchange(spark):
+    """The dedup candidate join, co-located: persist the banded MinHash
+    signature frame as a table bucketed on the band key — the self-join
+    that generates candidate pairs then needs NO Exchange on either
+    side. This is the repeated-dedup-runs strategy at 100 TB: pay the
+    bucketed write once, run every subsequent candidate generation
+    shuffle-free."""
+    from mle_proj_datapipeline_spark.operators.dedup import minhash_signature_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    banded = (
+        minhash_signature_table(docs, "doc_id", "text")
+        .select("doc", F.explode("bands").alias("b"))
+        .select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    )
+    spark.sql("DROP TABLE IF EXISTS b_bands")
+    banded.write.bucketBy(8, "band_idx", "band_key").sortBy(
+        "band_idx", "band_key"
+    ).mode("overwrite").saveAsTable("b_bands")
+
+    t = spark.table("b_bands")
+    a = t.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
+    b = t.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
+    cand = a.join(b, ["band_idx", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = cand._sc._jvm.PythonSQLUtils.explainString(
+            cand._jdf.queryExecution(), "formatted"
+        )
+        n_cand = cand.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_bands")
+
+    assert "SortMergeJoin" in plan, plan
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    join_subtree = tree[tree.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, plan
+    assert "Bucketed: true" in plan, plan
+    assert n_cand > 0
