@@ -1,0 +1,558 @@
+"""Classic decision-support query shapes (TPC-H Q4/Q7/Q8/Q9/Q10/Q11/
+Q14/Q15/Q17/Q19/Q21/Q22 adapted to the testdata star schema).
+
+These widen the relational surface of SURVEY.md §2 (families B/D/E/G/H)
+with the canonical OLAP patterns the reference's analytics layer
+composes ad hoc (reference: utils/query_model_performance.py:29-166
+builds windowed/joined metric panels; utils/gold_feature_store.py:60-105
+builds join-chain + top-k frames). Each query is expressed Spark-first:
+selective dim filters before joins so Catalyst can broadcast the small
+side, EXISTS/NOT EXISTS as semi/anti joins, correlated aggregates
+de-correlated into window functions or broadcast scalar joins.
+
+Adaptations forced by the testdata schema (no partsupp table, no
+l_commitdate / l_receiptdate / l_shipmode, no c_phone):
+- Q4/Q21 lateness uses ``l_shipdate > o_orderdate + INTERVAL N DAYS``.
+- Q9 profit uses a synthetic unit cost of ``0.5 * p_retailprice``.
+- Q11 concentrates lineitem value per part instead of partsupp value.
+- Q17 groups the avg-quantity threshold by brand (stable group sizes).
+- Q22 buckets customers by ``c_custkey % 10`` instead of phone prefix.
+
+Float parity: every float output is ``round(x, N)`` on BOTH sides;
+scalar thresholds that feed comparisons are rounded to 6 first so an
+order-of-summation ulp can't flip a row across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: EXISTS with a correlated inequality → equi-key LEFT SEMI join
+# --------------------------------------------------------------------------
+@register(
+    "priority_delivery_check",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def priority_delivery_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: the correlated EXISTS becomes a hash LEFT SEMI
+    join on l_orderkey with the lateness predicate as join condition —
+    one shuffle on the order key, no subquery re-execution per row."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: bidirectional nation-pair trade volume by ship year
+# --------------------------------------------------------------------------
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the two nation filters shrink supplier/customer
+    to broadcastable slivers BEFORE the fact joins, so the big lineitem
+    scan joins against tiny hash relations (nation is broadcast-hinted;
+    the filtered supplier/customer sides stay under the AQE broadcast
+    threshold at any SF because only 2 of 25 nations survive)."""
+    pair = ("NATION_1", "NATION_2")
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(F.round(F.sum(_revenue()), 4).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: market share = conditional-sum ratio per year
+# --------------------------------------------------------------------------
+@register(
+    "nation_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey   = l.l_orderkey
+    JOIN customer c  ON c.c_custkey    = o.o_custkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey  = nc.n_regionkey AND r.r_name = 'AMERICA'
+    JOIN supplier s  ON s.s_suppkey    = l.l_suppkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the share is a single conditional aggregate (no
+    self-join of two filtered sums). Region/nation are broadcast; the
+    customer restriction to one region prunes the orders join input."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = F.broadcast(
+        nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("cn_nationkey")
+        )
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(cust_nat, F.col("c_nationkey") == F.col("cn_nationkey"), "left_semi")
+        .select("c_custkey")
+    )
+    supp_nat = F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation")))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(supp_nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: profit by supplier nation and year over a part-name filter
+# --------------------------------------------------------------------------
+@register(
+    "part_profit_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey    = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey  = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey   = l.l_orderkey
+    GROUP BY nation, order_year
+    ORDER BY nation, order_year
+    """,
+)
+def part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the p_name LIKE filter halves the part dim before
+    the fact join; profit uses a synthetic 0.5*retailprice unit cost
+    (testdata has no partsupp.ps_supplycost)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = _revenue() - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", "order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item revenue ranking (top 20 customers)
+# --------------------------------------------------------------------------
+@register(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, nation
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: date + returnflag filters push to the scans;
+    limit plans as TakeOrderedAndProject (no global sort materialized)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: value concentration — parts above a global-fraction threshold
+# --------------------------------------------------------------------------
+@register(
+    "part_value_concentration",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT round(0.001 * sum(part_value), 6) AS threshold FROM pv)
+    SELECT pv.l_partkey, pv.part_value
+    FROM pv, tot
+    WHERE pv.part_value > tot.threshold
+    ORDER BY pv.part_value DESC, pv.l_partkey ASC
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING-above-global-fraction de-correlated into
+    a broadcast join against the 1-row global aggregate (testdata has no
+    partsupp, so concentration is lineitem value per part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    )
+    tot = pv.agg(
+        F.round(F.lit(0.001) * F.sum("part_value"), 6).alias("threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share over one month
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one conditional aggregate over a month-pruned
+    lineitem scan joined to part (shipdate predicate reaches the scan)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue()
+    return li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: argmax supplier by quarterly revenue via broadcast scalar max
+# --------------------------------------------------------------------------
+@register(
+    "top_quarter_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey),
+    mx AS (SELECT max(total_revenue) AS max_revenue FROM rev)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey, mx
+    WHERE rev.total_revenue = mx.max_revenue
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the correlated MAX subquery becomes a broadcast
+    join against the 1-row max — equality compares the 4-dp rounded
+    revenue both engines computed the same way."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_revenue()), 4).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: below-half-of-group-average revenue (de-correlated)
+# --------------------------------------------------------------------------
+@register(
+    "brand_small_quantity_revenue",
+    oracle="""
+    WITH b AS (
+        SELECT p.p_brand, round(avg(l.l_quantity), 6) AS avg_qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand)
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN b      ON b.p_brand   = p.p_brand
+    WHERE l.l_quantity < 0.5 * b.avg_qty
+    """,
+)
+def brand_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated per-group AVG subquery is
+    de-correlated into one grouped aggregate broadcast back onto the
+    fact — one pass over lineitem per arm instead of a subquery per row.
+    The threshold is rounded to 6 dp on both engines before comparing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    b = joined.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty")
+    )
+    return (
+        joined.join(F.broadcast(b), F.col("p_brand") == F.col("b_brand"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive band predicates
+# --------------------------------------------------------------------------
+@register(
+    "disjunctive_brand_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. The part-only
+    disjunction (brand IN ...) is implied and pushed to the part scan by
+    Catalyst's constraint propagation; the mixed predicate evaluates
+    post-join inside codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm("Brand#1", 15, 1, 11) | arm("Brand#13", 25, 10, 20) | arm("Brand#20", 35, 20, 30))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: multi-EXISTS blame assignment, de-correlated via window aggs
+# --------------------------------------------------------------------------
+@register(
+    "late_shipping_suppliers",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS supp_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey),
+    blamed AS (
+        SELECT l_orderkey, l_suppkey,
+               count(*)       OVER (PARTITION BY l_orderkey) AS n_supp,
+               sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late,
+               supp_late
+        FROM per_supp)
+    SELECT s.s_name, count(*) AS numwait
+    FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.supp_late = 1 AND b.n_supp > 1 AND b.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def late_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS(other supplier) / NOT EXISTS(other
+    late supplier) pair is de-correlated into per-order window counts
+    over a per-(order,supplier) pre-aggregate — two shuffles total (one
+    on the order key, one for the final name count) instead of two
+    correlated subquery joins."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("supp_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = per_supp.select(
+        "l_suppkey",
+        "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late"),
+    ).filter((F.col("supp_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        blamed.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: above-average idle balances by customer bucket
+# --------------------------------------------------------------------------
+@register(
+    "idle_customer_balance",
+    oracle="""
+    WITH t AS (SELECT round(avg(c_acctbal), 6) AS avg_bal
+               FROM customer WHERE c_acctbal > 0)
+    SELECT CAST(c.c_custkey % 10 AS INT) AS cust_bucket,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY cust_bucket
+    ORDER BY cust_bucket
+    """,
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery → broadcast 1-row join;
+    NOT EXISTS → LEFT ANTI join on the order key; bucket is
+    c_custkey % 10 (testdata has no phone column)."""
+    c = load_table(spark, sf_dir, "customer")
+    t = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("cust_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cust_bucket")
+    )

@@ -197,3 +197,52 @@ def test_kmeans_and_decon_plan_shapes(spark):
         assert "CartesianProduct" not in plan, f"{q}\n{plan}"
         assert "BroadcastNestedLoopJoin" not in plan, f"{q}\n{plan}"
     assert "BroadcastHashJoin" in plan_of(spark, "label_embedding_centroids")
+
+
+def test_tpch_shapes_no_cartesian(spark):
+    """Q4..Q22-shaped queries: no cartesian products anywhere; the only
+    BroadcastNestedLoopJoin allowed is a 1-row broadcast scalar join
+    (Q11/Q15/Q22 threshold joins)."""
+    scalar_bnlj_ok = {"part_value_concentration", "top_quarter_supplier", "idle_customer_balance"}
+    for q in [
+        "priority_delivery_check",
+        "nation_trade_volume",
+        "nation_market_share",
+        "part_profit_by_nation",
+        "returned_item_customers",
+        "part_value_concentration",
+        "promo_revenue_share",
+        "top_quarter_supplier",
+        "brand_small_quantity_revenue",
+        "disjunctive_brand_revenue",
+        "late_shipping_suppliers",
+        "idle_customer_balance",
+    ]:
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, f"{q}\n{plan}"
+        if q not in scalar_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{q}\n{plan}"
+
+
+def test_tpch_dim_joins_broadcast(spark):
+    """The nation/supplier dim sides of the Q7/Q8/Q9/Q10 shapes must
+    broadcast; Q4's EXISTS must plan as a semi join, not a subquery."""
+    for q in [
+        "nation_trade_volume",
+        "nation_market_share",
+        "part_profit_by_nation",
+        "returned_item_customers",
+        "late_shipping_suppliers",
+    ]:
+        assert "BroadcastHashJoin" in plan_of(spark, q), q
+    assert "LeftSemi" in plan_of(spark, "priority_delivery_check")
+
+
+def test_q10_take_ordered_and_pushdown(spark):
+    """Q10 shape: top-20 plans as TakeOrderedAndProject; the returnflag
+    and orderdate filters reach the parquet scans."""
+    plan = plan_of(spark, "returned_item_customers")
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
+    assert any("l_returnflag" in ln for ln in pushed), "\n".join(pushed)
+    assert any("o_orderdate" in ln for ln in pushed), "\n".join(pushed)
