@@ -31,31 +31,75 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+def _git_mtime(path: str) -> float:
+    """Last-commit unix time of ``path`` (fallback: filesystem mtime).
+
+    Driver CORRECTNESS files and source modules are both git-tracked, so
+    commit times give a consistent clock for row-vs-implementation
+    freshness even on a fresh checkout where fs mtimes are meaningless.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", _REPO_DIR, "log", "-1", "--format=%ct", "--", path],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout.strip()
+        if out:
+            return float(out)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
+
+
 def _coverage_order(names: list[str]) -> list[str]:
     """Order queries so the least driver-checked surface first.
 
     The driver's correctness harness caps the number of queries it
     verifies per round (round 1 recorded exactly the first 50 of 65
-    registered).  Sorting by (times a query already has a
-    CORRECTNESS_r*.json row, registration index) rotates the cap across
-    rounds until every registered query has a hard driver-verified row.
-    Stable, deterministic, and a no-op when no CORRECTNESS files exist.
+    registered).  Sorting by (FRESH driver rows, total driver rows,
+    registration index) rotates the cap across rounds until every
+    registered query has a hard driver-verified row — and re-surfaces a
+    query whose implementing plan module changed AFTER its last driver
+    row (a stale green row is weaker evidence than no row, so stale
+    rows count only in the secondary key).  Stable, deterministic, and
+    a no-op when no CORRECTNESS files exist.
     """
     import glob
     import json
 
-    counts: dict[str, int] = {n: 0 for n in names}
+    module_mtime: dict[str, float] = {}
+
+    def impl_mtime(name: str) -> float:
+        mod = sys.modules.get(getattr(QUERIES[name], "__module__", ""), None)
+        path = getattr(mod, "__file__", None)
+        if not path:
+            return 0.0
+        if path not in module_mtime:
+            module_mtime[path] = _git_mtime(path)
+        return module_mtime[path]
+
+    fresh: dict[str, int] = {n: 0 for n in names}
+    total: dict[str, int] = {n: 0 for n in names}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        row_time = _git_mtime(path)
         for name in rows:
-            if name in counts:
-                counts[name] += 1
+            if name in total:
+                total[name] += 1
+                if row_time >= impl_mtime(name):
+                    fresh[name] += 1
     index = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (counts[n], index[n]))
+    return sorted(names, key=lambda n: (fresh[n], total[n], index[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

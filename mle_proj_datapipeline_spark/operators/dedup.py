@@ -235,10 +235,17 @@ def minhash_lsh_pairs_delta(
     )
 
     spark = new_docs.sparkSession
-    new_base = materialize_frame(
-        minhash_signature_table(new_docs, id_col, text_col, shingle_k)
-    )
     old_base = read_snapshot(spark, signature_root)
+    # Idempotent re-delivery: drop doc ids already in the snapshot BEFORE
+    # pairing or appending — a crash-replayed batch (or an at-least-once
+    # upstream) must not duplicate signature rows, which would multiply
+    # every later batch's verify joins. Mirrors streaming/corpus's
+    # content-hash anti-join.
+    new_base = materialize_frame(
+        minhash_signature_table(new_docs, id_col, text_col, shingle_k).join(
+            old_base.select("doc"), "doc", "left_anti"
+        )
+    )
     all_base = old_base.unionByName(new_base)
 
     def banded(base: DataFrame, side: str) -> DataFrame:

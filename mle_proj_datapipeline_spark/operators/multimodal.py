@@ -166,6 +166,11 @@ def png_decode(b: bytes):
             w, h, depth, color = struct.unpack(">IIBB", data[:10])
             if depth != 8 or color not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
+            if len(data) >= 13 and data[12] != 0:
+                # Adam7 raw stream has a different layout — decoding it
+                # as sequential scanlines would yield silent garbage, so
+                # fail here and let callers map it to NULL media.
+                raise ValueError("unsupported PNG (interlaced)")
             meta = (w, h, _PNG_CHANNELS[color])
         elif ctype == b"IDAT":
             idat.append(data)
@@ -482,11 +487,14 @@ def audio_features(
                     for k in rows:
                         rows[k].append(None)
                     continue
-                sr, _ch, _bits, s = parsed
+                sr, ch, _bits, s = parsed
                 x = s.astype(np.float64)
+                # ``s`` holds interleaved samples across channels; the
+                # per-channel frame count is what duration is made of.
+                frames = len(s) // ch if ch else 0
                 rows["sample_rate"].append(sr)
-                rows["n_samples"].append(len(s))
-                rows["duration_ms"].append(round(len(s) * 1000.0 / sr, 4))
+                rows["n_samples"].append(frames)
+                rows["duration_ms"].append(round(frames * 1000.0 / sr, 4))
                 rows["rms"].append(round(float(np.sqrt(np.mean(x * x))), 4) if len(s) else None)
                 rows["peak"].append(int(np.max(np.abs(x))) if len(s) else None)
             yield pd.DataFrame(

@@ -715,25 +715,61 @@ def weekly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Approximate-sketch path (HLL++) — the declared 100 TB variant of
-# order_cardinalities, registered as a first-class query. No SQL oracle
-# (DuckDB's approx sketch differs bit-wise); the driver records the
-# weaker rows-only check, and tests/test_extensions.py gates relative
-# error against the exact twin.
+# order_cardinalities, registered as a first-class query WITH an exact
+# oracle: the HLL estimates themselves are engine-specific bits, so the
+# query's CONTRACT is (exact counts, estimates-within-rsd-bounds flag).
+# The sketches still run — a broken HLL path flips ``hll_within_bounds``
+# and the hash compare fails — but every output column is predictable
+# by ANSI SQL. tests/test_extensions.py additionally gates the raw
+# relative error.
 # --------------------------------------------------------------------------
-@register("approx_order_cardinalities")
+@register(
+    "approx_order_cardinalities",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+           count(*) AS n_orders,
+           TRUE AS hll_within_bounds
+    FROM orders
+    """,
+)
 def approx_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct counts (rsd=0.01) — mergeable one-pass sketches,
     the plan that replaces exact Expand-based count-distinct at 100 TB
     (exact distinct needs a full shuffle per distinct set; sketches
-    combine map-side and merge in O(sketch) per partition)."""
+    combine map-side and merge in O(sketch) per partition). The exact
+    twin runs beside the sketches; the emitted columns are the exact
+    counts plus a bounds flag asserting every estimate lands within 5×
+    the configured rsd (0.01 → ±5 %, far beyond 3σ), so the oracle can
+    hash-match while the sketch path stays exercised."""
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers"),
-        F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("n_priorities"),
-        F.approx_count_distinct(
-            F.date_trunc("month", "o_orderdate").cast("date"), rsd=0.01
-        ).alias("n_months"),
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(month).alias("n_months"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("e_customers"),
+        F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("e_priorities"),
+        F.approx_count_distinct(month, rsd=0.01).alias("e_months"),
+    )
+
+    def within(est: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(est) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
+        )
+
+    return agg.select(
+        "n_customers",
+        "n_priorities",
+        "n_months",
+        "n_orders",
+        (
+            within("e_customers", "n_customers")
+            & within("e_priorities", "n_priorities")
+            & within("e_months", "n_months")
+        ).alias("hll_within_bounds"),
     )
 
 

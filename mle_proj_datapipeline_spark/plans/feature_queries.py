@@ -210,6 +210,44 @@ def image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(attach_synthetic_images(docs))
 
 
+@register(
+    "audio_feature_extract",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+               doc_id % 500 + 10 AS n,
+               (doc_id * 37) % 20000 AS amp
+        FROM documents)
+    SELECT doc_id,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           round(n * 1000.0 / sr, 4) AS duration_ms,
+           round(CAST(amp AS DOUBLE), 4) AS rms,
+           CAST(amp AS INT) AS peak
+    FROM p
+    """,
+)
+def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path, end to end (the WAV twin of
+    image_meta_extract): build genuine mono 16-bit PCM RIFF/WAVE blobs
+    per doc (operators/multimodal.attach_synthetic_audio — a ±amp
+    square wave whose rate/length/amplitude are arithmetic in doc_id),
+    then recover sample rate, frame count, duration, RMS and peak by
+    actually parsing the RIFF chunks and decoding the PCM samples
+    (audio_features, Arrow-batched mapInPandas). A square wave's RMS is
+    exactly its amplitude, so every output column is predictable by the
+    oracle — one wrong header byte or sample and the hash compare
+    fails."""
+    from mle_proj_datapipeline_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(attach_synthetic_audio(docs))
+
+
 # --------------------------------------------------------------------------
 # Winsorization: percentile-clamped robust feature stats
 # --------------------------------------------------------------------------

@@ -244,9 +244,18 @@ def zorder_value(cols: list[str], bits: int = 12) -> "Column":
     """Morton (z-curve) key: interleave the low ``bits`` bits of the
     given integer columns — bit j of column i lands at position
     j*len(cols)+i. Rows close on the curve are close in EVERY listed
-    dimension, which is what makes multi-column min/max pruning work."""
+    dimension, which is what makes multi-column min/max pruning work.
+
+    Interleaved positions must stay inside a signed 64-bit key:
+    ``bits * len(cols) <= 63`` or the high bits overflow negative and
+    the curve (hence min/max pruning) silently scrambles."""
     import pyspark.sql.functions as F
 
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_value: bits ({bits}) * len(cols) ({len(cols)}) must be <= 63 "
+            "to fit a signed 64-bit Morton key; reduce bits or cluster columns"
+        )
     terms = [
         f"((((`{c}`) >> {j}) & 1) << {j * len(cols) + i})"
         for i, c in enumerate(cols)
@@ -277,6 +286,11 @@ def cluster_snapshot(
     after heavy appends, not per commit."""
     import pyspark.sql.functions as F
 
+    # Keep the interleaved key inside a signed 64-bit value: with many
+    # cluster columns, auto-reduce per-column bits instead of failing.
+    bits = min(bits, 63 // max(len(cols), 1))
+    if bits < 1:
+        raise ValueError("cluster_snapshot: too many cluster columns for a 63-bit key")
     df = read_snapshot(spark, root)
     stats = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],

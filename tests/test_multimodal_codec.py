@@ -111,3 +111,57 @@ def test_resize_nearest_neighbor(spark):
     bad = spark.createDataFrame([(2, bytearray(b"junk"))], "doc_id long, media binary")
     [r2] = resize(bad, width=4, height=4).collect()
     assert r2["media"] is None and r2["width"] is None
+
+
+def test_wav_roundtrip_mono():
+    from mle_proj_datapipeline_spark.operators.multimodal import parse_wav, wav_encode
+
+    samples = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+    sr, ch, bits, got = parse_wav(wav_encode(samples, 16000))
+    assert (sr, ch, bits) == (16000, 1, 16)
+    assert np.array_equal(got, samples)
+
+
+def test_parse_wav_rejects_non_pcm():
+    from mle_proj_datapipeline_spark.operators.multimodal import parse_wav
+
+    assert parse_wav(b"junkbytes") is None
+    assert parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_audio_features_stereo_duration(spark):
+    """ADVICE regression: a stereo WAV's n_samples/duration must count
+    FRAMES (interleaved samples / n_channels), not raw samples."""
+    import struct
+
+    from mle_proj_datapipeline_spark.operators.multimodal import audio_features
+
+    # Hand-build a 2-channel PCM WAV: 8 interleaved int16 samples = 4 frames.
+    pcm = np.array([100, -100, 200, -200, 300, -300, 400, -400], dtype="<i2").tobytes()
+    sr = 8000
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    df = spark.createDataFrame([(1, bytearray(stereo))], "doc_id long, media binary")
+    [row] = audio_features(df).collect()
+    assert row["n_samples"] == 4
+    assert row["duration_ms"] == pytest.approx(4 * 1000.0 / sr)
+    assert row["peak"] == 400
+
+
+def test_png_decode_rejects_interlaced():
+    """ADVICE regression: Adam7 PNGs must raise (-> NULL media), not
+    silently decode garbage."""
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = png_encode(arr)
+    # Flip the IHDR interlace byte (last byte of the 13-byte IHDR body)
+    # and fix up the chunk CRC so only the interlace flag differs.
+    ihdr_start = 8 + 8  # sig + len/type
+    body = bytearray(good)
+    body[ihdr_start + 12] = 1
+    crc = zlib.crc32(b"IHDR" + bytes(body[ihdr_start : ihdr_start + 13])) & 0xFFFFFFFF
+    body[ihdr_start + 13 : ihdr_start + 17] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="interlaced"):
+        png_decode(bytes(body))

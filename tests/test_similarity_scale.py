@@ -154,3 +154,36 @@ def test_incremental_minhash_delta(spark, tmp_path):
 
     # the snapshot absorbed the new signatures: table now covers the corpus
     assert read_snapshot(spark, root).count() == docs.count()
+
+
+def test_incremental_minhash_delta_replay_idempotent(spark, tmp_path):
+    """ADVICE regression: re-delivering the same batch (crash replay /
+    at-least-once upstream) must not duplicate signature rows in the
+    snapshot, and the replayed delta must emit no new pair rows."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_delta,
+        minhash_signature_table,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    root = str(tmp_path / "sig_table")
+
+    write_snapshot(minhash_signature_table(old, "doc_id", "text"), root)
+    first = minhash_lsh_pairs_delta(new, "doc_id", "text", root).collect()
+    n_sigs = read_snapshot(spark, root).count()
+
+    replay = minhash_lsh_pairs_delta(new, "doc_id", "text", root).collect()
+    assert replay == []  # every doc id already in the snapshot
+    sigs = read_snapshot(spark, root)
+    assert sigs.count() == n_sigs  # no duplicate signature rows
+    assert sigs.select("doc").distinct().count() == n_sigs
+    assert len(first) >= 0

@@ -184,3 +184,17 @@ def test_cluster_snapshot_zorder_layout(spark, tmp_path):
     after_x, after_y = avg_file_span("x"), avg_file_span("y")
     # hash-scattered layout spans ~the full domain; z-order must shrink BOTH
     assert after_x < before_x * 0.6 and after_y < before_y * 0.6
+
+
+def test_zorder_value_rejects_64bit_overflow():
+    """ADVICE regression: interleaving must stay inside a signed 64-bit
+    key — 6 columns x 12 bits would push bits past position 63 and wrap
+    negative, scrambling the curve."""
+    import pytest
+
+    from mle_proj_datapipeline_spark.sources.snapshots import zorder_value
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([f"c{i}" for i in range(6)], bits=12)
+    # 5 cols x 12 bits = 60 positions still fits.
+    zorder_value([f"c{i}" for i in range(5)], bits=12)
