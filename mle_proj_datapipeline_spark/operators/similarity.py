@@ -162,14 +162,15 @@ def ivf_topk(
     )
 
 
-def kmeans_iterate(
+def kmeans_fit(
     vecs: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_centroids: list[list[float]] | None = None,
     iterations: int = 2,
     round_to: int = 6,
-) -> DataFrame:
+    broadcast_codebook: bool = True,
+) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd's k-means over an embedding column — the real
     coarse-quantizer trainer the IVF family defers to (closes the
     "fixed pseudo-random codebook" gap flagged in round 1).
@@ -179,15 +180,21 @@ def kmeans_iterate(
       assign:  rows ⋈ centroid-rows on dim → per-(vec, cell) L2 partial
                sums (map-side combinable) → argmin by window,
       update:  assigned ⋈ rows → per-(cell, dim) mean = new centroids.
-    Centroids live as (cell, dim, value) ROWS throughout — at 100 TB
-    the codebook can exceed a broadcast (k·dim) and nothing here
-    assumes it fits the driver.
+    Centroids live as (cell, dim, value) ROWS throughout — never
+    collected to the driver. The assign join BROADCASTS the centroid
+    rows by default: k·dim doubles fit executor memory for any sane
+    codebook (k=65536 × dim=1024 ≈ 0.5 GB is the ceiling case), and a
+    shuffled join on dim index ``i`` has only ``dim`` distinct keys —
+    bounded parallelism AND a k× row replication through the exchange.
+    Set ``broadcast_codebook=False`` only past that ceiling; the row
+    join stays correct, just slower.
 
     Determinism/oracle parity: H31-derived init, fixed iteration count,
     centroid means and distances rounded to ``round_to`` decimals each
     step (both engines round identically, so ulp noise can't flip an
-    argmin; exact ties break by cell ASC). Returns the final
-    assignment: (vec_id, cell, dist_sq)."""
+    argmin; exact ties break by cell ASC). Returns ``(assignment,
+    centroids)``: the final (vec_id, cell, dist_sq) assignment and the
+    (cell, i, m) codebook rows it was computed against."""
     init = init_centroids or ivf_centroids()
     spark = vecs.sparkSession
     crows = spark.createDataFrame(
@@ -213,8 +220,9 @@ def kmeans_iterate(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
+        side = F.broadcast(cent) if broadcast_codebook else cent
         d = (
-            vrows.join(cent, "i")
+            vrows.join(side, "i")
             .groupBy("vid", "cell")
             .agg(
                 F.round(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))), round_to).alias(
@@ -238,7 +246,94 @@ def kmeans_iterate(
             .agg(F.round(F.avg("v"), round_to).alias("m"))
         )
         assigned = assign(cent)
+    return assigned, cent
+
+
+def kmeans_iterate(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_centroids: list[list[float]] | None = None,
+    iterations: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Assignment-only view of ``kmeans_fit`` (kept as the stable
+    operator surface; see kmeans_fit for the full contract)."""
+    assigned, _ = kmeans_fit(
+        vecs, id_col, vec_col, init_centroids, iterations, round_to
+    )
     return assigned
+
+
+def ivf_trained_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    iterations: int = 2,
+    n_probes: int = NUM_PROBES,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN over a TRAINED codebook: the coarse quantizer comes from
+    ``kmeans_fit`` (distributed Lloyd's from the deterministic H31
+    init), not the fixed pseudo-random centroids — candidate cells ARE
+    the final k-means assignment, and query probe lists are computed
+    against the same trained centroid rows.
+
+    Scale shape: identical to ivf_topk once the index exists — the
+    probe join is an equi-join on cell id, per-query work is
+    |probed cells| not |corpus|. Training adds the kmeans_fit passes
+    (row-joins + broadcast codebook); at 100 TB the assignment and
+    codebook would be persisted as snapshot tables and reused across
+    query batches rather than retrained per query set."""
+    assigned, cent = kmeans_fit(
+        candidates, id_col, vec_col, iterations=iterations, round_to=round_to
+    )
+    c = (
+        ensure_parallelism(candidates.select(id_col, vec_col))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .join(
+            assigned.select(F.col("vid").alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qrows = q.select(
+        "query_id", F.posexplode("qv").alias("i0", "v0")
+    ).select(
+        "query_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    qd = (
+        qrows.join(F.broadcast(cent), "i")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))), round_to
+            ).alias("dist_sq")
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("dist_sq"), F.asc("cell"))
+    probes = (
+        qd.withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") <= n_probes)
+        .select("query_id", "cell")
+    )
+    qp = probes.join(q, "query_id")
+    scored = (
+        c.join(F.broadcast(qp), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
 
 
 def brute_force_topk(

@@ -976,15 +976,18 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # K-means coarse quantizer (distributed Lloyd's, unrolled-CTE oracle)
 # --------------------------------------------------------------------------
-def _kmeans_oracle() -> str:
+def _kmeans_cte_prefix() -> str:
+    """Shared unrolled-Lloyd CTE chain (2 iterations): c0 init → d1/a1
+    first assign → c1 updated centroids → d2/a2 final assign. Reused by
+    the quantizer query and the trained-IVF query so both verify the
+    SAME training math."""
     init = sim.ivf_centroids()
     vals = ", ".join(
         f"({cell + 1}, {i + 1}, {float(v)!r})"
         for cell, c in enumerate(init)
         for i, v in enumerate(c)
     )
-    return f"""
-    WITH c0(cell, i, m) AS (VALUES {vals}),
+    return f"""c0(cell, i, m) AS (VALUES {vals}),
     v AS (
         SELECT vec_id AS vid, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
         FROM embeddings, range(1, {sim.EMB_DIM + 1}) t(i)),
@@ -1005,7 +1008,12 @@ def _kmeans_oracle() -> str:
     a2 AS (
         SELECT vid, cell, dist_sq,
                row_number() OVER (PARTITION BY vid ORDER BY dist_sq ASC, cell ASC) AS rk
-        FROM d2)
+        FROM d2)"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {_kmeans_cte_prefix()}
     SELECT cell, count(*) AS n_vecs, round(sum(dist_sq), 4) AS inertia
     FROM a2 WHERE rk = 1 GROUP BY cell
     """
@@ -1017,13 +1025,59 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed pseudo-random codebook" gap): two distributed Lloyd
     iterations from the deterministic H31 init — assign (rows ⋈
     centroid-rows on dim, argmin), update (per-(cell,dim) means) —
-    with centroids living as ROWS end to end (no driver collect, no
-    broadcast-size assumption on the codebook). The oracle unrolls both
-    iterations as CTEs, so every mean and every argmin is
-    hash-verified. Output: per-cell membership and inertia."""
+    with centroids living as ROWS end to end (no driver collect; the
+    assign stage broadcasts the k·dim codebook rows — plan-guarded —
+    with a documented row-join fallback past broadcast size). The
+    oracle unrolls both iterations as CTEs, so every mean and every
+    argmin is hash-verified. Output: per-cell membership and inertia."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = sim.kmeans_iterate(emb, iterations=2)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("dist_sq"), 4).alias("inertia"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF over the TRAINED codebook (kmeans_fit feeds ivf cell index)
+# --------------------------------------------------------------------------
+def _ivf_trained_oracle() -> str:
+    return f"""
+    WITH {_kmeans_cte_prefix()},
+    cand AS (SELECT vid AS neighbor_id, cell FROM a2 WHERE rk = 1),
+    qd AS (
+        SELECT vid AS query_id, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
+        FROM v JOIN c1 USING (i) WHERE vid < 50 GROUP BY vid, cell),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist_sq ASC, cell ASC) AS rk
+            FROM qd) WHERE rk <= {sim.NUM_PROBES}),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id, {_COSINE} AS cosine
+        FROM probes p JOIN cand c USING (cell)
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+        WHERE p.query_id != c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 3
+    """
+
+
+@register("ann_ivf_trained_topk", oracle=_ivf_trained_oracle())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is the TRAINED k-means codebook
+    (sim.kmeans_fit — two unrolled Lloyd iterations from the H31 init),
+    closing the "ivf_topk doesn't consume the trainer" gap: candidate
+    cells are the final k-means assignment, query probe lists score
+    against the same trained centroid rows, exact cosine rerank within
+    probed cells. The oracle re-derives the entire training run (shared
+    CTE prefix with kmeans_embedding_cells) plus the probe/rerank, so
+    codebook, assignment, probes, and ranking are all hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_trained_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)

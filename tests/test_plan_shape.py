@@ -199,6 +199,25 @@ def test_kmeans_and_decon_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan_of(spark, "label_embedding_centroids")
 
 
+def test_kmeans_assign_broadcasts_codebook(spark):
+    """The k-means assign stage must BROADCAST the k·dim centroid rows:
+    a shuffled join on dim index has only `dim` distinct keys (bounded
+    parallelism) and replicates every vector row k× through the
+    exchange. Applies to both the quantizer query and trained IVF."""
+    for q in ["kmeans_embedding_cells", "ann_ivf_trained_topk"]:
+        plan = plan_of(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q}: codebook join not broadcast\n{plan}"
+        # No sort-merge join anywhere in the training path: every join
+        # (codebook-on-dim, update-on-vid) is either broadcast or hash.
+        assert "CartesianProduct" not in plan, f"{q}\n{plan}"
+
+
+def test_ivf_trained_no_cartesian(spark):
+    plan = plan_of(spark, "ann_ivf_trained_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_shapes_no_cartesian(spark):
     """Q4..Q22-shaped queries: no cartesian products anywhere; the only
     BroadcastNestedLoopJoin allowed is a 1-row broadcast scalar join
