@@ -248,6 +248,57 @@ def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_synthetic_audio(docs))
 
 
+@register(
+    "video_frame_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 7 + 2 AS n_frames,
+               CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 24 END AS fps,
+               doc_id % 16 + 1 AS width,
+               (doc_id * 3) % 12 + 1 AS height
+        FROM documents),
+    f AS (
+        SELECT p.*, t.k
+        FROM p, range(0, 8) t(k)
+        WHERE t.k < p.n_frames AND t.k % 2 = 0)
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(fps AS INT) AS fps,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           count(*) AS n_sampled,
+           CAST(sum((doc_id * 11 + k * 17) % 256) AS BIGINT) AS sum_mean_px
+    FROM f GROUP BY doc_id, n_frames, fps, width, height
+    """,
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path, end to end (closes the last multimodal stub):
+    build a genuine RIFF/AVI container of constant-gray PNG frames per
+    doc (operators/multimodal.attach_synthetic_video — frame count,
+    fps, dimensions and gray values all arithmetic in doc_id), demux it
+    and sample every 2nd frame with real PNG pixel decode
+    (sample_frames, flatMap-shaped mapInPandas), then aggregate per
+    clip. A constant frame's mean pixel IS its gray value, so the
+    oracle predicts every sampled frame's stats — one wrong chunk
+    offset or filter byte and the hash compare fails."""
+    from mle_proj_datapipeline_spark.operators.multimodal import (
+        attach_synthetic_video,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_synthetic_video(docs), every_n=2)
+    return frames.groupBy("doc_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.max("fps").alias("fps"),
+        F.max("width").alias("width"),
+        F.max("height").alias("height"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("mean_px").cast("long").alias("sum_mean_px"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Winsorization: percentile-clamped robust feature stats
 # --------------------------------------------------------------------------

@@ -165,3 +165,40 @@ def test_png_decode_rejects_interlaced():
     body[ihdr_start + 13 : ihdr_start + 17] = struct.pack(">I", crc)
     with pytest.raises(ValueError, match="interlaced"):
         png_decode(bytes(body))
+
+
+def test_avi_roundtrip_demux():
+    from mle_proj_datapipeline_spark.operators.multimodal import (
+        avi_encode,
+        avi_frames,
+        parse_avi_header,
+    )
+
+    frames = [png_encode(np.full((3, 5), g, dtype=np.uint8)) for g in (10, 20, 30)]
+    blob = avi_encode(frames, 5, 3, fps=12)
+    assert parse_avi_header(blob) == (5, 3, 3, 12)
+    got = list(avi_frames(blob))
+    assert got == frames
+    # odd-length frame payloads must survive the word-alignment padding
+    odd = [b"x" * 7, b"y" * 9]
+    blob2 = avi_encode(odd, 1, 1, fps=8)
+    assert list(avi_frames(blob2)) == odd
+
+
+def test_sample_frames_every_n(spark):
+    from mle_proj_datapipeline_spark.operators.multimodal import (
+        avi_encode,
+        sample_frames,
+    )
+
+    frames = [png_encode(np.full((2, 2), 50 + k, dtype=np.uint8)) for k in range(5)]
+    blob = avi_encode(frames, 2, 2, fps=24)
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, media binary")
+    rows = sorted(sample_frames(df, every_n=2).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["mean_px"] for r in rows] == [50.0, 52.0, 54.0]
+    assert all((r["width"], r["height"], r["n_frames"], r["fps"]) == (2, 2, 5, 24) for r in rows)
+
+    # non-AVI payload -> zero rows, job survives
+    bad = spark.createDataFrame([(8, bytearray(b"junk"))], "doc_id long, media binary")
+    assert sample_frames(bad).count() == 0
