@@ -50,6 +50,17 @@ HEADLINE = [
     "benchmark_decontamination",
     "context_window_packing",
     "shipping_priority",
+    # round-4 widening (VERDICT r2 item 8): heavy multimodal/text/TPC-H
+    "image_meta_extract",
+    "pii_scrub_stats",
+    "doc_repetition_quality",
+    "cohort_retention",
+    "part_profit_by_nation",
+    "late_shipping_suppliers",
+    "video_frame_stats",
+    "audio_feature_extract",
+    "ann_ivf_trained_topk",
+    "purchase_click_window_pairs",
 ]
 
 

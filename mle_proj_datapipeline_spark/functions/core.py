@@ -68,6 +68,22 @@ def binary_target(col: Column | str, positive: tuple[str, ...] = ("D", "E", "F",
     return c.isin(*positive).cast("int")
 
 
+def seconds_between(end: Column | str, start: Column | str) -> Column:
+    """Whole-second gap ``end - start`` for TIMESTAMP **or**
+    TIMESTAMP_NTZ columns. Direct ``ts.cast("long")`` is illegal on
+    TIMESTAMP_NTZ (the driver-generated parquet carries naive
+    ``timestamp[us]``, which Spark 4 reads as NTZ), and routing through
+    ``timestamp_ltz`` would make the result session-timezone-dependent.
+    Subtracting two timestamps of the same flavor yields a DAY-TO-SECOND
+    interval, whose long cast is the exact second count — JVM-side and
+    timezone-free. Each endpoint is date_trunc'd to the second first so
+    the result counts second-boundary crossings, matching ANSI
+    ``date_diff('second', start, end)`` on sub-second timestamps."""
+    ce = F.col(end) if isinstance(end, str) else end
+    cs = F.col(start) if isinstance(start, str) else start
+    return (F.date_trunc("second", ce) - F.date_trunc("second", cs)).cast("long")
+
+
 def normalize_category(col: Column | str, missing: str = "MISSING") -> Column:
     """coalesce → trim → upper (utils/gold_feature_store.py:107,
     utils/silver_demographic.py:18-19)."""

@@ -18,6 +18,7 @@ from mle_proj_datapipeline_spark.operators.dedup import P31, h31
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
 from mle_proj_datapipeline_spark.sources.metrics import (
+    stored_grade_metrics,
     stored_metrics,
     write_registry,
     read_registry,
@@ -192,6 +193,73 @@ def production_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_registry(registry, sf_dir)
     return read_registry(spark, sf_dir)
+
+
+GRADES = list("ABCDEFG")
+
+_H31_GRADE_SQL = (
+    "(('0x'||substr(md5(model || '|' || week || '|' || grade),1,15))::BIGINT % {p})".format(p=P31)
+)
+
+
+@register(
+    "grade_f1_breakdown",
+    oracle=f"""
+    WITH w AS (
+        SELECT DISTINCT o_orderpriority AS model,
+               strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
+        FROM orders),
+    g AS (
+        SELECT model, week, grade
+        FROM w, UNNEST(['A','B','C','D','E','F','G']) AS t(grade)),
+    f AS (
+        SELECT model, week, grade,
+               round(0.80 + ({_H31_GRADE_SQL} % 30) / 200.0, 4) AS f1
+        FROM g)
+    SELECT model, grade,
+           round(avg(f1), 4) AS avg_f1,
+           min(f1) AS min_f1,
+           max(f1) AS max_f1,
+           count(*) AS n_weeks
+    FROM f GROUP BY model, grade
+    """,
+)
+def grade_f1_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-grade F1 panel (reference utils/model_inference_utils.py:114-115
+    persists per-grade F1 + prediction distributions as Postgres JSONB).
+    The panel's per-grade map is serialized to a JSON column (the JSONB
+    twin), PERSISTED to its own snapshot table, read back, re-typed with
+    ``from_json`` to MapType(String,Double), exploded, and aggregated —
+    write → JSONB round-trip → map query, end to end under the oracle.
+
+    Scale: panel is models × weeks rows (tiny); the explode fans out by a
+    constant 7; one shuffle on (model, grade)."""
+    base = weekly_model_metrics(spark, sf_dir).drop("metric")
+    entries: list = []
+    for g in GRADES:
+        entries.append(F.lit(g))
+        entries.append(
+            F.round(
+                F.lit(0.80)
+                + (h31(F.concat_ws("|", F.col("model"), F.col("week"), F.lit(g))) % 30)
+                / F.lit(200.0),
+                4,
+            )
+        )
+    panel = base.withColumn("grade_f1_json", F.to_json(F.create_map(*entries)))
+    stored = stored_grade_metrics(spark, sf_dir, panel)
+    typed = stored.withColumn(
+        "grade_f1", F.from_json("grade_f1_json", "map<string,double>")
+    )
+    exploded = typed.select(
+        "model", "week", F.explode("grade_f1").alias("grade", "f1")
+    )
+    return exploded.groupBy("model", "grade").agg(
+        F.round(F.avg("f1"), 4).alias("avg_f1"),
+        F.min("f1").alias("min_f1"),
+        F.max("f1").alias("max_f1"),
+        F.count(F.lit(1)).alias("n_weeks"),
+    )
 
 
 @register(

@@ -17,6 +17,7 @@ from mle_proj_datapipeline_spark.operators.impute import (
     compute_means,
     impute,
 )
+from mle_proj_datapipeline_spark.functions.core import seconds_between
 from mle_proj_datapipeline_spark.operators.joins import asof_join
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
@@ -248,7 +249,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    secs = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    secs = seconds_between(F.col("ts"), F.lag("ts").over(wo))
     sessions = (
         e.withColumn(
             "is_new",
@@ -258,7 +259,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("dur_secs"),
+            seconds_between(F.max("ts"), F.min("ts")).alias("dur_secs"),
         )
     )
     return sessions.groupBy("user_id").agg(
@@ -296,7 +297,7 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts"
     )
-    gap = F.col("ts").cast("long") - F.col("click_payload_ts").cast("long")
+    gap = seconds_between("ts", "click_payload_ts")
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("click_payload_ts").alias("n_matched"),
@@ -378,7 +379,7 @@ def purchase_click_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     c = e.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
     pairs = temporal_proximity_join(p, c, on=["user_id"], left_ts="ts", right_ts="click_ts")
-    gap = F.col("ts").cast("long") - F.col("click_ts").cast("long")
+    gap = seconds_between("ts", "click_ts")
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum(gap).cast("double") / F.count(F.lit(1)), 4).alias("avg_gap_secs"),

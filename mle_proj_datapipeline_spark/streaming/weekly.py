@@ -24,6 +24,19 @@ from pyspark.sql.types import StructType
 SUNDAY_ALIGN = "3 days"
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet written with naive
+    ``timestamp[us]`` (the driver testdata, and any upstream that never
+    set isAdjustedToUTC) reads back as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects outright. Cast NTZ → TIMESTAMP here, only
+    when the column actually is NTZ — batch twins of these operators run
+    the same cast-free path, and sessions pin UTC so the NTZ→LTZ
+    reinterpretation is the identity on the epoch line."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def file_stream(
     spark: SparkSession,
     source_dir: str,
@@ -50,7 +63,8 @@ def weekly_counts(
     — the declarative form of the bronze week filter. Identical code
     works in batch (tests assert batch/stream agreement)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), "7 days", "7 days", SUNDAY_ALIGN).alias("w"),
             key_col,
@@ -75,7 +89,8 @@ def sessionized(
     """Gap-based session windows (built-in session_window) — the
     streaming twin of plans/pipeline_queries.user_sessions."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -91,7 +106,11 @@ def stream_dedup(
 ) -> DataFrame:
     """Exactly-once keyed dedup within the watermark horizon — replaces
     the reference's rely-on-idempotent-overwrite re-run semantics."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def run_available_now(

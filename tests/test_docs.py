@@ -1,0 +1,27 @@
+"""Docs stay truthful (VERDICT r2 item 9): the README's registry counts
+must equal ``len(QUERIES)`` — one source of truth, so coverage claims
+never drift from the code again."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import __spark_entry__ as entrymod
+
+README = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+
+
+def test_readme_query_counts_match_registry():
+    text = open(README).read()
+    n = len(entrymod.queries())
+    n_oracled = len(entrymod.oracle_sql())
+    claimed = re.search(r"\((\d+) named queries\)", text)
+    assert claimed, "README no longer states the query count"
+    assert int(claimed.group(1)) == n, (
+        f"README claims {claimed.group(1)} queries, registry has {n}"
+    )
+    claimed_reg = re.search(r"the (\d+) registered queries", text)
+    assert claimed_reg and int(claimed_reg.group(1)) == n
+    claimed_oracle = re.search(r"`oracle_sql\(\)` \((\d+) exact DuckDB twins", text)
+    assert claimed_oracle and int(claimed_oracle.group(1)) == n_oracled

@@ -148,3 +148,39 @@ def test_asof_salted_identical(spark, frames, direction):
         ).collect()
     }
     assert salted == plain and plain
+
+
+def test_asof_salted_plan_splits_hot_key(spark):
+    """VERDICT r2 item 7: the salted path must actually split a hot key's
+    window across salt partitions — the Exchange feeding the window sort
+    partitions on (k, __salt), and every salt bucket is non-empty on a
+    synthetic 100%-hot-key fixture (so the window sort sees ~1/n_salts of
+    the rows per partition instead of all of them)."""
+    import pyspark.sql.functions as F
+    from mle_proj_datapipeline_spark.operators.joins import asof_join_salted
+
+    n_salts = 4
+    left = spark.createDataFrame(
+        [("hot", i, (i * 7) % 50) for i in range(200)], ["k", "lval", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("hot", t, f"p{t}") for t in range(0, 50, 5)], ["k", "ts", "payload"]
+    )
+    out = asof_join_salted(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        salt_from="lval", n_salts=n_salts,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    shuffle_lines = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln and "__salt" in ln
+    ]
+    assert shuffle_lines, f"window shuffle does not partition on __salt:\n{plan}"
+
+    # Runtime: the hot key's left rows land in every salt bucket.
+    buckets = (
+        left.withColumn("__salt", F.pmod(F.xxhash64(F.col("lval")), F.lit(n_salts)))
+        .select("__salt").distinct().count()
+    )
+    assert buckets == n_salts

@@ -96,8 +96,8 @@ def test_stream_stream_interval_join(spark, events_dir):
 
     sp, sc = split(W.file_stream(spark, events_dir, schema))
     joined = temporal_proximity_join(
-        sp.withWatermark("ts", "2 hours"),
-        sc.withWatermark("click_ts", "2 hours"),
+        W.ensure_event_time(sp, "ts").withWatermark("ts", "2 hours"),
+        W.ensure_event_time(sc, "click_ts").withWatermark("click_ts", "2 hours"),
         on=["user_id"],
         left_ts="ts",
         right_ts="click_ts",
