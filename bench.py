@@ -22,6 +22,7 @@ import mle_proj_datapipeline_spark.plans.llm_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.feature_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.lifecycle_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.tpch_queries  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import QUERIES
 from mle_proj_datapipeline_spark.session import get_spark
 

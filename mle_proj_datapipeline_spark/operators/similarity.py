@@ -91,30 +91,53 @@ def ivf_centroids(num_cells: int = NUM_CELLS, dim: int = EMB_DIM) -> list[list[f
     ]
 
 
-def _dist_sq_sql(vec: str, centroid: list[float]) -> str:
+def _dist_sq_sql(vec: str, centroid: list[float], round_to: int | None = None) -> str:
     lits = ", ".join(f"{x!r}D" for x in centroid)
-    return (
+    expr = (
         f"aggregate(zip_with({vec}, array({lits}), "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "0.0D, (acc, x) -> acc + x)"
     )
+    if round_to is not None:
+        expr = f"round({expr}, {round_to})"
+    return expr
 
 
-def ivf_cell(vec: str, centroids: list[list[float]] | None = None) -> Column:
-    """1-based id of the nearest centroid (L2; ties → lowest id)."""
+def ivf_cell(
+    vec: str,
+    centroids: list[list[float]] | None = None,
+    round_to: int | None = None,
+) -> Column:
+    """1-based id of the nearest centroid (L2; ties → lowest id).
+    ``round_to`` rounds each distance first — pass the trainer's grid so
+    assignment matches an oracle that argmins over rounded distances."""
     cs = centroids or ivf_centroids()
-    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c) for c in cs) + ")"
+    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c, round_to) for c in cs) + ")"
     return F.expr(f"array_position({d_arr}, array_min({d_arr}))").cast("int")
 
 
+def ivf_min_dist(
+    vec: str,
+    centroids: list[list[float]] | None = None,
+    round_to: int | None = None,
+) -> Column:
+    """Squared L2 distance to the nearest centroid (the inertia term)."""
+    cs = centroids or ivf_centroids()
+    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c, round_to) for c in cs) + ")"
+    return F.expr(f"array_min({d_arr})")
+
+
 def ivf_probes(
-    vec: str, centroids: list[list[float]] | None = None, n_probes: int = NUM_PROBES
+    vec: str,
+    centroids: list[list[float]] | None = None,
+    n_probes: int = NUM_PROBES,
+    round_to: int | None = None,
 ) -> Column:
     """Ids of the ``n_probes`` nearest cells (dist asc, id asc) — the
     query-side probe list. Struct array_sort is lexicographic in both
     Spark and DuckDB, so tie order is cross-engine identical."""
     cs = centroids or ivf_centroids()
-    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c) for c in cs) + ")"
+    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c, round_to) for c in cs) + ")"
     return F.expr(
         f"transform(slice(array_sort(transform(sequence(1, {len(cs)}), "
         f"k -> struct(element_at({d_arr}, k) AS dist, k AS idx))), 1, {n_probes}), "
@@ -175,28 +198,72 @@ def kmeans_fit(
     coarse-quantizer trainer the IVF family defers to (closes the
     "fixed pseudo-random codebook" gap flagged in round 1).
 
-    Fully distributed, NO driver collect: vectors are posexploded once
-    to (vec_id, dim, value) rows; each iteration is
-      assign:  rows ⋈ centroid-rows on dim → per-(vec, cell) L2 partial
-               sums (map-side combinable) → argmin by window,
-      update:  assigned ⋈ rows → per-(cell, dim) mean = new centroids.
-    Centroids live as (cell, dim, value) ROWS throughout — never
-    collected to the driver. The assign join BROADCASTS the centroid
-    rows by default: k·dim doubles fit executor memory for any sane
-    codebook (k=65536 × dim=1024 ≈ 0.5 GB is the ceiling case), and a
-    shuffled join on dim index ``i`` has only ``dim`` distinct keys —
-    bounded parallelism AND a k× row replication through the exchange.
-    Set ``broadcast_codebook=False`` only past that ceiling; the row
-    join stays correct, just slower.
+    Default path is the one Spark's own MLlib KMeans uses: the codebook
+    (k·dim doubles — a bounded driver-side dictionary, NOT data) lives
+    on the driver and is compiled into a closed-form nearest-cell
+    expression each iteration, so
+      assign:  pure map work over the vectors — no join, no shuffle,
+               whole-stage codegen,
+      update:  one posexplode + per-(cell, dim) mean — the only shuffle
+               per iteration, partial-aggregated map-side,
+    and each iteration ends with one bounded collect of the new k·dim
+    means. Set ``broadcast_codebook=False`` past the literal-expression
+    ceiling (k·dim in the hundreds of thousands): centroids then stay as
+    (cell, i, m) ROWS, assignment is a broadcast row-join on dim index +
+    window argmin — correct at any k, just slower.
 
     Determinism/oracle parity: H31-derived init, fixed iteration count,
     centroid means and distances rounded to ``round_to`` decimals each
     step (both engines round identically, so ulp noise can't flip an
-    argmin; exact ties break by cell ASC). Returns ``(assignment,
-    centroids)``: the final (vec_id, cell, dist_sq) assignment and the
-    (cell, i, m) codebook rows it was computed against."""
+    argmin; exact ties break by cell ASC). A cell that loses all its
+    vectors drops out of the codebook, exactly as a GROUP BY update
+    loses it. Returns ``(assignment, centroids)``: the final (vec_id,
+    cell, dist_sq) assignment and the (cell, i, m) codebook rows it was
+    computed against."""
     init = init_centroids or ivf_centroids()
     spark = vecs.sparkSession
+
+    if broadcast_codebook:
+        base = ensure_parallelism(vecs.select(id_col, vec_col))
+        cells = list(range(1, len(init) + 1))
+        book = [list(map(float, c)) for c in init]
+
+        def cell_col() -> Column:
+            arr = F.array(*[F.lit(c) for c in cells])
+            return F.element_at(arr, ivf_cell(vec_col, book, round_to=round_to))
+
+        for _ in range(iterations - 1):
+            upd = (
+                base.select(
+                    cell_col().alias("cell"), F.posexplode(vec_col).alias("i0", "v0")
+                )
+                .select("cell", (F.col("i0") + 1).alias("i"), F.col("v0").cast("double").alias("v"))
+                .groupBy("cell", "i")
+                .agg(F.round(F.avg("v"), round_to).alias("m"))
+                .collect()
+            )
+            cells = sorted({r["cell"] for r in upd})
+            pos = {c: p for p, c in enumerate(cells)}
+            dim = max(r["i"] for r in upd)
+            book = [[0.0] * dim for _ in cells]
+            for r in upd:
+                book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
+        assigned = base.select(
+            F.col(id_col).alias("vid"),
+            cell_col().alias("cell"),
+            ivf_min_dist(vec_col, book, round_to=round_to).alias("dist_sq"),
+        )
+        cent = spark.createDataFrame(
+            [
+                (cell, i + 1, m)
+                for ci, cell in enumerate(cells)
+                for i, m in enumerate(book[ci])
+            ],
+            "cell int, i int, m double",
+        )
+        return assigned, cent
+
+    # Row-join fallback: codebook too large to compile into an expression.
     crows = spark.createDataFrame(
         [
             (cell + 1, i + 1, float(v))
@@ -220,9 +287,8 @@ def kmeans_fit(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
-        side = F.broadcast(cent) if broadcast_codebook else cent
         d = (
-            vrows.join(side, "i")
+            vrows.join(F.broadcast(cent), "i")
             .groupBy("vid", "cell")
             .agg(
                 F.round(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))), round_to).alias(
@@ -281,47 +347,48 @@ def ivf_trained_topk(
     the final k-means assignment, and query probe lists are computed
     against the same trained centroid rows.
 
-    Scale shape: identical to ivf_topk once the index exists — the
-    probe join is an equi-join on cell id, per-query work is
-    |probed cells| not |corpus|. Training adds the kmeans_fit passes
-    (row-joins + broadcast codebook); at 100 TB the assignment and
-    codebook would be persisted as snapshot tables and reused across
-    query batches rather than retrained per query set."""
-    assigned, cent = kmeans_fit(
+    Scale shape: training is the distributed kmeans_fit passes; the
+    trained codebook (k·dim doubles — bounded, the dictionary-collect
+    class) is then pulled to the driver and compiled into the same
+    closed-form nearest-cell expression ivf_topk uses, so assigning the
+    FULL corpus is pure map work: no join, no shuffle, whole-stage
+    codegen. That is the 100 TB shape — only training touches shuffles,
+    and at that scale codebook + assignment would persist as snapshot
+    tables and be reused across query batches rather than retrained.
+    Distances round to the trainer's grid pre-argmin so the assignment
+    is exactly the oracle's (rounded-dist, lowest-cell-tie) one."""
+    _, cent = kmeans_fit(
         candidates, id_col, vec_col, iterations=iterations, round_to=round_to
     )
-    c = (
-        ensure_parallelism(candidates.select(id_col, vec_col))
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-        .join(
-            assigned.select(F.col("vid").alias("neighbor_id"), "cell"),
-            "neighbor_id",
-        )
+    # kmeans_fit's final row-join assignment is lazy and never consumed —
+    # only the (cell, i, m) codebook rows are evaluated here.
+    book_rows = cent.collect()
+    # A cell that lost every vector drops out of the trained codebook, so
+    # expression indices are positions in the SURVIVING-cell list — map
+    # them back to real cell ids explicitly.
+    cells = sorted({r["cell"] for r in book_rows})
+    dim = max(r["i"] for r in book_rows)
+    pos = {c: p for p, c in enumerate(cells)}
+    book: list[list[float]] = [[0.0] * dim for _ in cells]
+    for r in book_rows:
+        book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
+    cell_ids = F.array(*[F.lit(c) for c in cells])
+
+    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(cell_ids, ivf_cell(vec_col, book, round_to=round_to)).alias("cell"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qrows = q.select(
-        "query_id", F.posexplode("qv").alias("i0", "v0")
-    ).select(
-        "query_id",
-        (F.col("i0") + 1).alias("i"),
-        F.col("v0").cast("double").alias("v"),
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(
+                ivf_probes(vec_col, book, n_probes=n_probes, round_to=round_to),
+                lambda p: F.element_at(cell_ids, p),
+            )
+        ).alias("cell"),
     )
-    qd = (
-        qrows.join(F.broadcast(cent), "i")
-        .groupBy("query_id", "cell")
-        .agg(
-            F.round(
-                F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))), round_to
-            ).alias("dist_sq")
-        )
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.asc("dist_sq"), F.asc("cell"))
-    probes = (
-        qd.withColumn("rk", F.row_number().over(pw))
-        .filter(F.col("rk") <= n_probes)
-        .select("query_id", "cell")
-    )
-    qp = probes.join(q, "query_id")
     scored = (
         c.join(F.broadcast(qp), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

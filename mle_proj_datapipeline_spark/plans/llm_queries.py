@@ -1022,14 +1022,16 @@ def _kmeans_oracle() -> str:
 @register("kmeans_embedding_cells", oracle=_kmeans_oracle())
 def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL k-means coarse-quantizer training (closes the round-1
-    "fixed pseudo-random codebook" gap): two distributed Lloyd
-    iterations from the deterministic H31 init — assign (rows ⋈
-    centroid-rows on dim, argmin), update (per-(cell,dim) means) —
-    with centroids living as ROWS end to end (no driver collect; the
-    assign stage broadcasts the k·dim codebook rows — plan-guarded —
-    with a documented row-join fallback past broadcast size). The
-    oracle unrolls both iterations as CTEs, so every mean and every
-    argmin is hash-verified. Output: per-cell membership and inertia."""
+    "fixed pseudo-random codebook" gap): two Lloyd iterations from the
+    deterministic H31 init, MLlib-style — the k·dim codebook lives on
+    the driver (bounded dictionary) and compiles into a closed-form
+    nearest-cell expression, so ASSIGNMENT IS JOINLESS MAP WORK
+    (plan-guarded: no join operator of any kind); update is one
+    posexplode + per-(cell,dim) mean, the only shuffle per iteration.
+    Row-join fallback documented in kmeans_fit for codebooks past the
+    expression ceiling. The oracle unrolls both iterations as CTEs, so
+    every mean and every argmin is hash-verified. Output: per-cell
+    membership and inertia."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = sim.kmeans_iterate(emb, iterations=2)
     return assigned.groupBy("cell").agg(

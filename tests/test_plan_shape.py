@@ -199,17 +199,21 @@ def test_kmeans_and_decon_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan_of(spark, "label_embedding_centroids")
 
 
-def test_kmeans_assign_broadcasts_codebook(spark):
-    """The k-means assign stage must BROADCAST the k·dim centroid rows:
-    a shuffled join on dim index has only `dim` distinct keys (bounded
-    parallelism) and replicates every vector row k× through the
-    exchange. Applies to both the quantizer query and trained IVF."""
-    for q in ["kmeans_embedding_cells", "ann_ivf_trained_topk"]:
-        plan = plan_of(spark, q)
-        assert "BroadcastHashJoin" in plan, f"{q}: codebook join not broadcast\n{plan}"
-        # No sort-merge join anywhere in the training path: every join
-        # (codebook-on-dim, update-on-vid) is either broadcast or hash.
-        assert "CartesianProduct" not in plan, f"{q}\n{plan}"
+def test_kmeans_assign_is_joinless_map_work(spark):
+    """The k-means assign stage compiles the driver-held codebook into a
+    closed-form nearest-cell expression (MLlib's design): the quantizer
+    query's final plan must contain NO join of any kind — assignment is
+    scan → project → aggregate. A join on dim index (only `dim` distinct
+    keys, k× row replication) is the regression this guards against."""
+    plan = plan_of(spark, "kmeans_embedding_cells")
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"]:
+        assert op not in plan, f"kmeans_embedding_cells: unexpected {op}\n{plan}"
+
+    # Trained IVF: the only joins are the broadcast probe/rerank joins.
+    plan = plan_of(spark, "ann_ivf_trained_topk")
+    assert "BroadcastHashJoin" in plan, f"probe join not broadcast\n{plan}"
+    assert "SortMergeJoin" not in plan, f"shuffle join in trained IVF\n{plan}"
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_ivf_trained_no_cartesian(spark):
