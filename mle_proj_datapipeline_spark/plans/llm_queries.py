@@ -1083,3 +1083,172 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, assignment, probes, and ranking are all hash-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_trained_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking (RAG / pretraining context chunks)
+# --------------------------------------------------------------------------
+CHUNK_W = 32  # window: tokens per chunk
+CHUNK_S = 24  # stride: 8-token overlap between consecutive chunks
+
+_CHUNK_CTE = f"""
+    t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+    c AS (SELECT doc_id, source, toks, n,
+                 unnest(generate_series(0,
+                     CAST(1 + floor((greatest(n - {CHUNK_W}, 0) + {CHUNK_S - 1})
+                                    / {CHUNK_S}.0) AS BIGINT) - 1)) AS chunk_idx
+          FROM t),
+    s AS (SELECT doc_id, source, chunk_idx,
+                 list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                            chunk_idx * {CHUNK_S} + {CHUNK_W}) AS ctoks
+          FROM c)
+"""
+
+
+def _chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk_idx, ctoks): overlapping CHUNK_W-token
+    windows at stride CHUNK_S — narrow map work, no shuffle; the explode
+    fans each doc out by ceil(max(n-W,0)/S)+1, proportional to its
+    length (bounded fanout, unlike a per-token explode)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size("toks")
+    n_chunks = (
+        F.lit(1)
+        + F.floor((F.greatest(n - CHUNK_W, F.lit(0)) + (CHUNK_S - 1)) / F.lit(float(CHUNK_S)))
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.expr(f"slice(toks, chunk_idx * {CHUNK_S} + 1, {CHUNK_W})").alias("ctoks"),
+        )
+    )
+
+
+@register(
+    "doc_sliding_chunks",
+    oracle=f"""
+    WITH {_CHUNK_CTE}
+    SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+           substr(md5(array_to_string(ctoks, ' ')), 1, 8) AS chunk_hash
+    FROM s
+    """,
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking of every document (window
+    CHUNK_W tokens, stride CHUNK_S) — the context-chunk fan-out a RAG
+    indexer or a fixed-context pretraining tokenizer runs first. One
+    narrow projection + bounded explode; chunk identity is the md5 of
+    the reassembled window so the oracle verifies exact window
+    boundaries, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _chunk_frame(docs).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ctoks").cast("bigint").alias("n_tokens"),
+        F.substring(F.md5(F.array_join("ctoks", " ")), 1, 8).alias("chunk_hash"),
+    )
+
+
+@register(
+    "chunk_exact_dedup",
+    oracle=f"""
+    WITH {_CHUNK_CTE},
+    h AS (SELECT doc_id, source, chunk_idx,
+                 md5(array_to_string(ctoks, ' ')) AS h
+          FROM s),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY h
+                     ORDER BY doc_id ASC, chunk_idx ASC) AS rk
+          FROM h)
+    SELECT source,
+           count(*) AS n_chunks,
+           count(*) FILTER (WHERE rk = 1) AS n_kept,
+           round(1.0 - CAST(count(*) FILTER (WHERE rk = 1) AS DOUBLE)
+                     / count(*), 4) AS dup_ratio
+    FROM r GROUP BY source
+    """,
+)
+def chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document CHUNK-level exact dedup (the paragraph-dedup pass
+    of a pretraining pipeline, e.g. CCNet's, at window granularity):
+    every chunk hashes its content, the first (doc_id, chunk_idx)
+    occurrence survives, and the per-source duplication ratio reports
+    how much of each source is redundant boilerplate.
+
+    Scale: one shuffle on the content hash (the canonical exact-dedup
+    key — uniform by construction, no skew), then a per-source
+    partial agg."""
+    from pyspark.sql import Window
+
+    ch = _chunk_frame(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "chunk_idx", F.md5(F.array_join("ctoks", " ")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+    ranked = ch.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("rk") == 1, 1)).alias("n_kept"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.when(F.col("rk") == 1, 1)).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based corpus mixing (alpha = 0.5 → sqrt scaling)
+# --------------------------------------------------------------------------
+@register(
+    "corpus_mixing_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    z AS (SELECT sum(sqrt(n_tokens)) AS z, sum(n_tokens) AS tot FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(n_tokens) / z, 6) AS weight,
+           round((sqrt(n_tokens) / z) / (CAST(n_tokens AS DOUBLE) / tot), 4)
+               AS upsample
+    FROM s, z
+    """,
+)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing for multi-corpus pretraining
+    (alpha = 0.5, i.e. sqrt scaling — the unigram-LM / XLM-R recipe):
+    per-source sampling weight ∝ n_tokens^alpha, plus the implied
+    upsample factor vs natural proportions (rare sources > 1, dominant
+    sources < 1).
+
+    Scale: one per-source aggregate (tiny result) + a broadcast of the
+    two scalar normalizers — the corpus itself is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (
+        docs.select("source", F.size(F.split(F.col("text"), " ")).alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    totals = src.agg(
+        F.sum(F.sqrt("n_tokens")).alias("z"), F.sum("n_tokens").alias("tot")
+    )
+    return src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("weight"),
+        F.round(
+            (F.sqrt("n_tokens") / F.col("z"))
+            / (F.col("n_tokens").cast("double") / F.col("tot")),
+            4,
+        ).alias("upsample"),
+    )
