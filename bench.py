@@ -62,6 +62,8 @@ HEADLINE = [
     "audio_feature_extract",
     "ann_ivf_trained_topk",
     "purchase_click_window_pairs",
+    "corpus_build_pipeline",
+    "chunk_exact_dedup",
 ]
 
 

@@ -1252,3 +1252,94 @@ def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("upsample"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone: the corpus build as ONE declarative plan
+# --------------------------------------------------------------------------
+MIN_TOKENS = 30
+MIN_TTR = 0.3  # type-token ratio floor (Gopher-style repetition gate)
+
+
+@register(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS toks
+        FROM documents WHERE lang = 'en'),
+    q AS (
+        SELECT doc_id, source, text, toks, len(toks) AS n
+        FROM base
+        WHERE len(toks) >= {MIN_TOKENS}
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= {MIN_TTR}),
+    d AS (
+        SELECT doc_id, source, toks, n,
+               row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id ASC) AS rk
+        FROM q),
+    k AS (SELECT doc_id, source, toks, n FROM d WHERE rk = 1),
+    c AS (
+        SELECT doc_id, source, toks, n,
+               unnest(generate_series(0,
+                   CAST(1 + floor((greatest(n - {CHUNK_W}, 0) + {CHUNK_S - 1})
+                                  / {CHUNK_S}.0) AS BIGINT) - 1)) AS chunk_idx
+        FROM k),
+    s AS (
+        SELECT source, doc_id,
+               len(list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                              chunk_idx * {CHUNK_S} + {CHUNK_W})) AS ct
+        FROM c)
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(ct) AS BIGINT) AS n_chunk_tokens
+    FROM s GROUP BY source
+    """,
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build as one declarative plan: language
+    filter → quality gate (min length + type-token ratio) → exact dedup
+    (content-hash keep-first) → sliding-window chunking → per-source
+    yield stats. A reference user runs this as four orchestrated jobs
+    with materialized intermediates; here Catalyst fuses it into one
+    lineage — ONE scan of the corpus (plan-guarded), filters pushed to
+    the scan, and the only shuffles are the dedup hash partition and
+    the final per-source aggregate."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.filter(F.col("lang") == "en").select(
+        "doc_id", "source", "text", toks.alias("toks")
+    )
+    q = base.withColumn("n", F.size("toks")).filter(
+        (F.col("n") >= MIN_TOKENS)
+        & (F.size(F.array_distinct("toks")).cast("double") / F.col("n") >= MIN_TTR)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    kept = (
+        q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "toks", "n")
+    )
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.col("n") - CHUNK_W, F.lit(0)) + (CHUNK_S - 1))
+            / F.lit(float(CHUNK_S))
+        )
+    ).cast("bigint")
+    chunks = kept.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    ).select(
+        "source",
+        "doc_id",
+        F.size(
+            F.expr(f"slice(toks, chunk_idx * {CHUNK_S} + 1, {CHUNK_W})")
+        ).alias("ct"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("ct").cast("bigint").alias("n_chunk_tokens"),
+    )

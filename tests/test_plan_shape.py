@@ -269,3 +269,22 @@ def test_q10_take_ordered_and_pushdown(spark):
     pushed = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
     assert any("l_returnflag" in ln for ln in pushed), "\n".join(pushed)
     assert any("o_orderdate" in ln for ln in pushed), "\n".join(pushed)
+
+
+def test_corpus_build_single_scan(spark):
+    """The capstone pipeline (filter → quality → dedup → chunk → agg)
+    must stay ONE fused lineage: exactly one scan of documents, pruned
+    to the 4 needed columns, with the lang filter pushed down — the
+    whole point vs the reference's four materialized intermediates."""
+    import re
+
+    plan = plan_of(spark, "corpus_build_pipeline")
+    # formatted explain lists each operator twice (tree + detail); count
+    # detail headers only.
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, f"expected 1 documents scan, found {n_scans}\n{plan}"
+    widths = read_schema_widths(plan)  # fields+1 per the helper
+    assert widths and max(widths) <= 5, f"unpruned read schema {widths}\n{plan}"
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters:")[1].split("]")[0], (
+        f"lang filter not pushed to scan\n{plan}"
+    )
