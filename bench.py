@@ -73,17 +73,20 @@ def _prev_round_timings() -> dict[str, float]:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not paths:
-        return {}
-    try:
-        with open(paths[-1]) as fh:
-            d = json.load(fh)
-        # driver wraps our line under "parsed"
-        d = d.get("parsed", d) if isinstance(d, dict) else {}
-        return dict(d.get("queries", {}))
-    except (OSError, ValueError, AttributeError):
-        return {}
+    # newest round with a USABLE parse (a crashed round records
+    # parsed=null — skip it rather than losing the deltas entirely)
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+            # driver wraps our line under "parsed"
+            d = d.get("parsed", d) if isinstance(d, dict) else {}
+            q = dict((d or {}).get("queries", {}))
+            if q:
+                return q
+        except (OSError, ValueError, AttributeError):
+            continue
+    return {}
 
 
 def main() -> None:

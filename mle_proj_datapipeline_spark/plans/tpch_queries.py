@@ -1,5 +1,8 @@
-"""Classic decision-support query shapes (TPC-H Q4/Q7/Q8/Q9/Q10/Q11/
-Q14/Q15/Q17/Q19/Q21/Q22 adapted to the testdata star schema).
+"""Classic decision-support query shapes. With Q1 (pricing_summary),
+Q3 (shipping_priority), Q6 (forecast_revenue) and Q18
+(large_volume_orders) in plans/relational.py, ALL 22 TPC-H query shapes
+are covered: this module holds Q2/Q4/Q5/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q14/
+Q15/Q16/Q17/Q19/Q20/Q21/Q22 adapted to the testdata star schema.
 
 These widen the relational surface of SURVEY.md §2 (families B/D/E/G/H)
 with the canonical OLAP patterns the reference's analytics layer
@@ -555,4 +558,282 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cust_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: correlated MIN subquery -> per-part window argmin
+# --------------------------------------------------------------------------
+@register(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               round(avg(l_extendedprice / l_quantity), 6) AS unit_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    p AS (SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size < 15),
+    r AS (
+        SELECT p.p_partkey, e.s_name, e.s_acctbal, e.n_name, u.unit_price,
+               row_number() OVER (PARTITION BY p.p_partkey
+                   ORDER BY u.unit_price ASC, e.s_suppkey ASC) AS rk
+        FROM unit u
+        JOIN eu e ON u.l_suppkey = e.s_suppkey
+        JOIN p ON u.l_partkey = p.p_partkey)
+    SELECT p_partkey, s_name, s_acctbal, n_name, unit_price
+    FROM r WHERE rk = 1
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: observed lineitem unit price stands in
+    for ps_supplycost — no partsupp table): for each STANDARD small
+    part, the cheapest EUROPE supplier. The correlated MIN subquery
+    de-correlates into a per-part window argmin; region/nation dims
+    broadcast into the supplier filter before the fact aggregate joins
+    it, so the only full shuffle is the (part, supplier) aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_price")
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    r = unit.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_price"), F.asc("s_suppkey"))
+    return (
+        r.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "unit_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 shape: local-supplier volume (customer nation == supplier nation)
+# --------------------------------------------------------------------------
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join where revenue counts only when
+    the customer's and supplier's nations coincide. Facts join facts on
+    their keys (orders⋈lineitem shuffle); every dim (customer, supplier,
+    nation, region) broadcasts; the nation-equality is an extra join
+    predicate, not a post-filter, so mismatched rows die inside the
+    join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(load_table(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    j = (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: two-bucket conditional counts per category
+# --------------------------------------------------------------------------
+@register(
+    "returnflag_priority_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_returnflag stands in for the schema's missing
+    l_shipmode): per category, split line counts by order-priority
+    class — conditional aggregation, one fact⋈fact shuffle with the
+    ship-date window pushed to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: LEFT JOIN with join-time filter -> count distribution
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over ALL customers —
+    the filter lives in the LEFT JOIN condition (a WHERE would silently
+    drop zero-order customers), then a double aggregation. First agg
+    rides the join's clustering; the histogram agg shuffles only
+    (count, 1) pairs."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    co = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: NOT IN subquery -> broadcast anti-join + count distinct
+# --------------------------------------------------------------------------
+@register(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem supplies the part⋈supplier incidence —
+    no partsupp table; negative account balance stands in for the
+    complaints filter): how many distinct suppliers serve each
+    (brand, type). The NOT IN subquery is a broadcast LEFT ANTI join;
+    distinct-counting rides a (brand, type, suppkey) pre-aggregation so
+    the final shuffle carries unique triples only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") != "PROMO")
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: aggregate subquery -> broadcast scalar threshold -> semi-join
+# --------------------------------------------------------------------------
+@register(
+    "excess_volume_suppliers",
+    oracle="""
+    WITH vol AS (
+        SELECT l_suppkey, round(sum(l_quantity), 2) AS shipped_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey),
+    thr AS (SELECT round(avg(shipped_qty) * 1.5, 6) AS t FROM vol)
+    SELECT s_name, n_name, shipped_qty
+    FROM vol JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey, thr
+    WHERE shipped_qty > t
+    """,
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (shipped volume stands in for partsupp
+    availqty): suppliers who shipped more than 1.5x the average PROMO
+    volume in the window. The correlated quantity threshold
+    de-correlates into one scalar aggregate broadcast against the
+    per-supplier volumes; supplier/nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    vol = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("shipped_qty"))
+    )
+    thr = vol.agg(F.round(F.avg("shipped_qty") * 1.5, 6).alias("t"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        vol.crossJoin(F.broadcast(thr))
+        .filter(F.col("shipped_qty") > F.col("t"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "shipped_qty")
     )

@@ -226,7 +226,12 @@ def test_tpch_shapes_no_cartesian(spark):
     """Q4..Q22-shaped queries: no cartesian products anywhere; the only
     BroadcastNestedLoopJoin allowed is a 1-row broadcast scalar join
     (Q11/Q15/Q22 threshold joins)."""
-    scalar_bnlj_ok = {"part_value_concentration", "top_quarter_supplier", "idle_customer_balance"}
+    scalar_bnlj_ok = {
+        "part_value_concentration",
+        "top_quarter_supplier",
+        "idle_customer_balance",
+        "excess_volume_suppliers",
+    }
     for q in [
         "priority_delivery_check",
         "nation_trade_volume",
@@ -240,6 +245,12 @@ def test_tpch_shapes_no_cartesian(spark):
         "disjunctive_brand_revenue",
         "late_shipping_suppliers",
         "idle_customer_balance",
+        "min_cost_supplier_per_part",
+        "local_supplier_volume",
+        "returnflag_priority_counts",
+        "customer_order_distribution",
+        "part_supplier_variety",
+        "excess_volume_suppliers",
     ]:
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, f"{q}\n{plan}"
@@ -256,9 +267,14 @@ def test_tpch_dim_joins_broadcast(spark):
         "part_profit_by_nation",
         "returned_item_customers",
         "late_shipping_suppliers",
+        "min_cost_supplier_per_part",
+        "local_supplier_volume",
+        "part_supplier_variety",
+        "excess_volume_suppliers",
     ]:
         assert "BroadcastHashJoin" in plan_of(spark, q), q
     assert "LeftSemi" in plan_of(spark, "priority_delivery_check")
+    assert "LeftAnti" in plan_of(spark, "part_supplier_variety")
 
 
 def test_q10_take_ordered_and_pushdown(spark):
