@@ -1343,3 +1343,27 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("ct").cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+@register("ann_ivf_indexed_topk", oracle=_ivf_trained_oracle())
+def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k served from a PERSISTED IVF index: ivf_index_build
+    trains the k-means codebook once and commits codebook + assignment
+    as snapshot tables; ivf_index_topk then serves queries with ZERO
+    training work (bounded codebook collect + equi-join on the
+    committed assignment). Same oracle as ann_ivf_trained_topk — the
+    persisted path must reproduce the in-query training path exactly.
+    tests/test_similarity_scale.py proves the reuse property: a second
+    query batch against the same index runs no kmeans jobs."""
+    import os
+
+    from mle_proj_datapipeline_spark.sources.metrics import warehouse_root
+    from mle_proj_datapipeline_spark.sources.snapshots import expire
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    root = os.path.join(warehouse_root(), f"ivf_index_{tag}")
+    sim.ivf_index_build(emb, root)
+    expire(spark, f"{root}/codebook", keep_last=3)
+    expire(spark, f"{root}/assignment", keep_last=3)
+    return sim.ivf_index_topk(spark, emb.filter(F.col("vec_id") < 50), root, k=3)

@@ -187,3 +187,33 @@ def test_incremental_minhash_delta_replay_idempotent(spark, tmp_path):
     assert sigs.count() == n_sigs  # no duplicate signature rows
     assert sigs.select("doc").distinct().count() == n_sigs
     assert len(first) >= 0
+
+
+def test_ivf_index_reuse_serves_without_training(spark, tmp_path_factory):
+    """The persisted IVF index is the pay-training-once artifact: build
+    commits codebook + assignment snapshots; every later query batch is
+    served from the index alone — identical results to the in-query
+    trainer, and the serving plan contains no training operators (no
+    posexplode of the corpus, no avg-update aggregate)."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators import similarity as sim
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path_factory.mktemp("ivfidx"))
+    sim.ivf_index_build(emb, root)
+
+    q1 = emb.filter(F.col("vec_id") < 20)
+    q2 = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    served = sim.ivf_index_topk(spark, q1, root, k=3)
+    trained = sim.ivf_trained_topk(q1, emb, k=3)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, trained.collect()))
+
+    # Second batch: index reused, no training in the serving plan.
+    out2 = sim.ivf_index_topk(spark, q2, root, k=3)
+    plan = out2._sc._jvm.PythonSQLUtils.explainString(
+        out2._jdf.queryExecution(), "formatted"
+    )
+    assert "posexplode" not in plan and "Generate explode(posexplode" not in plan
+    assert out2.count() > 0
