@@ -621,3 +621,41 @@ def ivf_index_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_index_append(
+    spark,
+    new_vecs: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> int:
+    """Incremental index maintenance: assign a NEW batch of vectors
+    against the index's FROZEN codebook (closed-form expression — map
+    work only, no training, history never re-assigned) and append it to
+    the committed assignment table. The standard production ANN-ingest
+    pattern: the codebook retrains on a cadence (ivf_index_build), while
+    arriving batches append cheaply between rebuilds; wiring this into
+    foreachBatch gives streaming index ingestion as-is. Returns the new
+    assignment version."""
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    book_rows = read_snapshot(spark, f"{root}/codebook").collect()
+    cells = sorted({r["cell"] for r in book_rows})
+    dim = max(r["i"] for r in book_rows)
+    pos = {c: p for p, c in enumerate(cells)}
+    book: list[list[float]] = [[0.0] * dim for _ in cells]
+    for r in book_rows:
+        book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
+    cell_ids = F.array(*[F.lit(c) for c in cells])
+
+    batch = new_vecs.select(
+        F.col(id_col).alias("vid"),
+        F.element_at(cell_ids, ivf_cell(vec_col, book, round_to=round_to)).alias("cell"),
+        F.col(vec_col).alias("v"),
+    )
+    return write_snapshot(batch, f"{root}/assignment", mode="append")

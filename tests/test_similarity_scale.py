@@ -217,3 +217,52 @@ def test_ivf_index_reuse_serves_without_training(spark, tmp_path_factory):
     )
     assert "posexplode" not in plan and "Generate explode(posexplode" not in plan
     assert out2.count() > 0
+
+
+def test_ivf_index_append_frozen_codebook(spark, tmp_path_factory):
+    """Incremental ANN ingest: appending a second wave assigns it with
+    the FROZEN wave-1 codebook (no retraining, wave-1 rows untouched)
+    and the assignment table afterwards equals the closed-form
+    assignment of the full corpus under that same codebook."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators import similarity as sim
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.sources.snapshots import read_snapshot
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    w1 = emb.filter(F.col("vec_id") % 2 == 0)
+    w2 = emb.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path_factory.mktemp("ivfinc"))
+    sim.ivf_index_build(w1, root)
+    v_before = {
+        (r["vid"], r["cell"])
+        for r in read_snapshot(spark, f"{root}/assignment").select("vid", "cell").collect()
+    }
+    sim.ivf_index_append(spark, w2, root)
+
+    got = {
+        (r["vid"], r["cell"])
+        for r in read_snapshot(spark, f"{root}/assignment").select("vid", "cell").collect()
+    }
+    # wave-1 assignments unchanged
+    assert v_before <= got
+    # full corpus assigned under the frozen codebook == the table
+    book_rows = read_snapshot(spark, f"{root}/codebook").collect()
+    cells = sorted({r["cell"] for r in book_rows})
+    dim = max(r["i"] for r in book_rows)
+    pos = {c: p for p, c in enumerate(cells)}
+    book = [[0.0] * dim for _ in cells]
+    for r in book_rows:
+        book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
+    cell_ids = F.array(*[F.lit(c) for c in cells])
+    want = {
+        (r["vid"], r["cell"])
+        for r in emb.select(
+            F.col("vec_id").alias("vid"),
+            F.element_at(cell_ids, sim.ivf_cell("embedding", book, round_to=6)).alias("cell"),
+        ).collect()
+    }
+    assert got == want
+    # serving still works over the merged index
+    assert sim.ivf_index_topk(spark, emb.filter(F.col("vec_id") < 10), root, k=2).count() > 0
