@@ -1367,3 +1367,73 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expire(spark, f"{root}/codebook", keep_last=3)
     expire(spark, f"{root}/assignment", keep_last=3)
     return sim.ivf_index_topk(spark, emb.filter(F.col("vec_id") < 50), root, k=3)
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      {_BAND_BUCKETS[0]} AS bk0,
+                      {_BAND_BUCKETS[1]} AS bk1
+               FROM embeddings),
+    pairs AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+        FROM v x JOIN v y
+          ON x.vec_id != y.vec_id AND (x.bk0 = y.bk0 OR x.bk1 = y.bk1)),
+    lscored AS (
+        SELECT p.query_id, p.neighbor_id, {_COSINE} AS cosine
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM lscored) WHERE rk = 1 AND query_id < 50),
+    bscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS cosine
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) a
+        JOIN embeddings b ON a.vec_id != b.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM bscored) WHERE rk <= 3)
+    SELECT count(*) AS n_lsh_queries,
+           count(bf.neighbor_id) AS n_hits,
+           round(CAST(count(bf.neighbor_id) AS DOUBLE) / count(*), 4) AS recall_at_3
+    FROM lsh LEFT JOIN bf
+      ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation — the pipeline op that decides whether
+    an ANN geometry is good enough to ship: recall@3 of the multi-band
+    LSH top-1 against the exact brute-force top-3 over the evaluation
+    slice. Both arms are the engine's own operators; the oracle
+    re-derives both and the join, so the recall number itself is
+    hash-verified. Scale: the expensive arm (exact top-k) runs only on
+    the bounded evaluation slice — the standard sampled-recall
+    methodology."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = (
+        sim.lsh_top1(emb)
+        .filter(F.col("query_id") < 50)
+        .select("query_id", "neighbor_id")
+    )
+    bf = (
+        sim.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    j = lsh.join(bf, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lsh_queries"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall_at_3"),
+    )
