@@ -16,10 +16,17 @@ designs of both inform the layout):
   latest-at-timestamp) and scans only the files it lists — data files
   are never mutated, so every historical version stays readable until
   expired.
-- A writer stages data files first, then commits by atomically renaming
-  the manifest into place; a crash before the rename leaves the table
-  untouched (readers never see half-written versions). Single-writer
-  semantics — concurrent commits need a real table format's CAS.
+- A writer stages data files first, then commits by CLAIMING its
+  version number (exclusive create of .vNNN.claim — the CAS) and
+  renaming the manifest into place; a crash before the rename leaves
+  the table untouched (readers never see half-written versions).
+  Concurrent committers serialize: a losing writer re-reads the history
+  and retries on the next version — no silent manifest clobber (the
+  pre-CAS hazard: local-FS rename overwrites an existing destination).
+  Orphaned claims from crashed writers are skipped after a stall probe
+  and swept by `expire`. Residual caveat vs a real table format:
+  version numbers can skip after a writer crash, and cross-writer
+  APPEND linearization around a crashed claim is best-effort.
 - OVERWRITE lists only new files; APPEND lists parent files + new.
   MERGE (upsert) and COMPACT (small-file bin-packing) are rewrites
   committed as new versions, so both are time-travel-safe.
@@ -53,6 +60,31 @@ def _fs(spark: SparkSession, path: str):
 
 def _jpath(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _create_exclusive(spark: SparkSession, path: str) -> bool:
+    """Atomic create-if-absent — the CAS primitive for commit claims.
+
+    Hadoop's LocalFileSystem.create(path, overwrite=False) checks
+    existence THEN creates (TOCTOU — two racing writers can both
+    "win"), so for file:// / schemeless paths this drops to
+    java.io.File.createNewFile, which is O_CREAT|O_EXCL. On HDFS/S3A
+    the namenode/object-store create-without-overwrite is atomic
+    server-side, so the Hadoop API is used as-is."""
+    fs, jvm = _fs(spark, path)
+    jpath = _jpath(spark, path)
+    fs.mkdirs(jpath.getParent())
+    scheme = jpath.toUri().getScheme()
+    if scheme in (None, "file"):
+        return bool(jvm.java.io.File(jpath.toUri().getPath()).createNewFile())
+    try:
+        out = fs.create(jpath, False)
+        out.close()
+        return True
+    except Exception as ex:
+        if "Exists" in type(ex).__name__ or "exists" in str(ex).lower():
+            return False
+        raise
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
@@ -136,39 +168,81 @@ def write_snapshot(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
-    snaps = history(spark, root)
-    parent = snaps[-1] if snaps else None
-    version = (parent["version"] + 1) if parent else 1
 
-    commit_dir = f"{root}/data/c{version}-{uuid.uuid4().hex[:8]}"
+    # Stage the immutable data files ONCE, outside the commit loop.
+    commit_dir = f"{root}/data/c{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(commit_dir)
-    files = _list(spark, commit_dir, ".parquet")
-    if mode == "append" and parent:
-        files = sorted(set(parent["files"]) | set(files))
+    new_files = _list(spark, commit_dir, ".parquet")
 
-    if timestamp is None:
-        import time
-
-        timestamp = time.time()
-    if parent and timestamp < parent["timestamp"]:
-        raise ValueError(
-            f"timestamp {timestamp} precedes parent snapshot {parent['timestamp']}"
-        )
-    manifest = {
-        "version": version,
-        "timestamp": timestamp,
-        "parent": parent["version"] if parent else None,
-        "mode": mode,
-        "files": files,
-        "meta": meta or {},
-    }
-    tmp = f"{root}/{SNAP_DIR}/.v{version:08d}.json.tmp"
-    final = f"{root}/{SNAP_DIR}/v{version:08d}.json"
-    _write_text(spark, tmp, json.dumps(manifest))
+    # Optimistic-concurrency commit (the CAS a real table format gives):
+    # a writer CLAIMS its version number by exclusive-creating
+    # .vNNN.claim (atomic create-if-absent on HDFS; create(overwrite=
+    # False) on local), writes the manifest to a temp file, and renames
+    # it into place — the rename destination can't exist because only
+    # the claim owner writes that version. A losing writer re-reads the
+    # history and retries on the next version, so concurrent committers
+    # serialize instead of silently overwriting each other's manifest
+    # (local-FS rename DOES clobber an existing destination — the
+    # pre-CAS lost-commit hazard). If the latest version stops moving
+    # across retries (a claimer crashed between claim and rename), the
+    # writer probes past the orphaned claim; `expire` sweeps stale
+    # claims. Version numbers may skip after such a crash — manifests
+    # are ordered by version, readers are indifferent.
     fs, _ = _fs(spark, root)
-    if not fs.rename(_jpath(spark, tmp), _jpath(spark, final)):
-        raise RuntimeError(f"commit rename failed for version {version} (concurrent writer?)")
-    return version
+    version = 0
+    stalled = 0
+    last_seen = -1
+    for _attempt in range(25):
+        snaps = history(spark, root)
+        parent = snaps[-1] if snaps else None
+        latest = parent["version"] if parent else 0
+        if latest == last_seen:
+            stalled += 1
+        else:
+            stalled, last_seen = 0, latest
+        version = max(latest + 1, version + 1 if stalled >= 3 else latest + 1)
+        if timestamp is None:
+            # default wall clock is re-read per attempt so a losing
+            # writer can't stamp behind the winner it retries after
+            import time as _time
+
+            ts = _time.time()
+            if parent:
+                ts = max(ts, parent["timestamp"])
+        else:
+            ts = timestamp
+            if parent and ts < parent["timestamp"]:
+                raise ValueError(
+                    f"timestamp {ts} precedes parent snapshot {parent['timestamp']}"
+                )
+        files = new_files
+        if mode == "append" and parent:
+            files = sorted(set(parent["files"]) | set(new_files))
+        claim = f"{root}/{SNAP_DIR}/.v{version:08d}.claim"
+        if not _create_exclusive(spark, claim):
+            # claim taken — another writer owns this version; back off
+            import time as _time
+
+            _time.sleep(0.05)
+            continue
+        manifest = {
+            "version": version,
+            "timestamp": ts,
+            "parent": parent["version"] if parent else None,
+            "mode": mode,
+            "files": files,
+            "meta": meta or {},
+        }
+        tmp = f"{root}/{SNAP_DIR}/.v{version:08d}-{uuid.uuid4().hex[:8]}.json.tmp"
+        final = f"{root}/{SNAP_DIR}/v{version:08d}.json"
+        _write_text(spark, tmp, json.dumps(manifest))
+        if not fs.rename(_jpath(spark, tmp), _jpath(spark, final)):
+            raise RuntimeError(f"commit rename failed for version {version}")
+        # The claim file INTENTIONALLY outlives the commit: deleting it
+        # here would let a retrying loser re-claim this version and die
+        # on the rename. `expire` sweeps claims <= the latest commit.
+        return version
+    raise RuntimeError(f"could not commit to {root} after 25 attempts (writer storm?)")
 
 
 def read_snapshot(
@@ -237,6 +311,18 @@ def expire(spark: SparkSession, root: str, keep_last: int) -> list[int]:
             if f not in keep_files:
                 fs.delete(_jpath(spark, f), False)
         fs.delete(_jpath(spark, f"{root}/{SNAP_DIR}/v{s['version']:08d}.json"), False)
+    # Sweep orphaned commit claims (a writer that crashed between claim
+    # and manifest rename) at or below the latest committed version —
+    # claims above it may belong to an in-flight writer.
+    latest = live[-1]["version"]
+    for p in _list(spark, f"{root}/{SNAP_DIR}", ".claim"):
+        name = p.rsplit("/", 1)[-1]
+        try:
+            v = int(name[2:10])
+        except ValueError:
+            continue
+        if v <= latest:
+            fs.delete(_jpath(spark, p), False)
     return [s["version"] for s in dead]
 
 

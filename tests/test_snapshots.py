@@ -198,3 +198,46 @@ def test_zorder_value_rejects_64bit_overflow():
         zorder_value([f"c{i}" for i in range(6)], bits=12)
     # 5 cols x 12 bits = 60 positions still fits.
     zorder_value([f"c{i}" for i in range(5)], bits=12)
+
+
+def test_concurrent_writers_never_lose_a_commit(spark, tmp_path_factory):
+    """Optimistic-concurrency commit: N threads racing overwrite commits
+    must produce N DISTINCT versions (no silent manifest clobber — the
+    local-FS rename-overwrites hazard) and the final table must read
+    back as exactly one winner's content."""
+    import threading
+
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        history,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path_factory.mktemp("cas"))
+    frames = {
+        i: spark.range(10).selectExpr("id", f"{i} AS writer") for i in range(6)
+    }
+    got: dict[int, int] = {}
+    errs: list[Exception] = []
+
+    def commit(i: int) -> None:
+        try:
+            got[i] = write_snapshot(frames[i], root)
+        except Exception as ex:  # pragma: no cover - surfaced by assert
+            errs.append(ex)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in frames]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errs, errs
+    versions = sorted(got.values())
+    assert len(versions) == len(set(versions)) == 6, f"lost commit: {got}"
+    snaps = history(spark, root)
+    assert [s["version"] for s in snaps] == versions
+    # Latest version reads back as exactly one writer's frame.
+    last = read_snapshot(spark, root)
+    writers = {r["writer"] for r in last.select("writer").distinct().collect()}
+    assert len(writers) == 1 and last.count() == 10
