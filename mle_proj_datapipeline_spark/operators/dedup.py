@@ -38,6 +38,35 @@ LSH_ROWS = NUM_HASHES // LSH_BANDS
 MINHASH_A = [2 * i + 3 for i in range(1, NUM_HASHES + 1)]
 MINHASH_B = [7919 * i + 104729 for i in range(NUM_HASHES)]
 
+
+def lsh_geometry_for(
+    threshold: float, max_hashes: int = 256
+) -> tuple[int, int, int]:
+    """(bands, rows, n_hashes) whose S-curve midpoint (1/b)^(1/r) sits
+    closest to the target Jaccard ``threshold`` — the production sizing
+    rule the fixed 4x4 test geometry stands in for (its midpoint ~0.71
+    was hand-picked for oracle-verifiable fixtures; at 100 TB you derive
+    the geometry from the dedup threshold, not the other way around).
+
+    Search is over b*r <= max_hashes with b, r >= 2: more hashes sharpen
+    the S-curve (fewer false positives into the verify stage AND fewer
+    false negatives) at linearly more signature compute; callers cap
+    max_hashes by their compute budget. Deterministic tie-break: closer
+    midpoint, then fewer hashes, then more bands (recall over
+    precision)."""
+    if not 0.05 <= threshold <= 0.95:
+        raise ValueError(f"threshold {threshold} outside sane dedup range")
+    best_key: tuple[float, int, int] | None = None
+    best_geom = (0, 0, 0)
+    for b in range(2, max_hashes // 2 + 1):
+        for r in range(2, max_hashes // b + 1):
+            mid = (1.0 / b) ** (1.0 / r)
+            key = (abs(mid - threshold), b * r, -b)
+            if best_key is None or key < best_key:
+                best_key, best_geom = key, (b, r, b * r)
+    assert best_key is not None
+    return best_geom
+
 # SimHash geometry: the md5-derived token hash carries 60 usable bits
 # (15 hex digits), split into 4 blocks of 15 bits for pigeonhole candidate
 # generation (guarantees recall for hamming ≤ 3).

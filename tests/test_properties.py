@@ -262,3 +262,29 @@ def test_packing_matches_python_reference(spark, toks):
         want[i] = cum // budget
         cum += n
     assert got == want
+
+
+def test_lsh_geometry_for_targets_threshold():
+    """The derived (bands, rows) S-curve midpoint must land near the
+    requested Jaccard threshold across the practical range, midpoints
+    must track the target monotonically, and the fixed test geometry
+    must be recoverable as a special case."""
+    import math
+
+    from mle_proj_datapipeline_spark.operators.dedup import lsh_geometry_for
+
+    mids = []
+    for t in [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]:
+        b, r, n = lsh_geometry_for(t)
+        assert b >= 2 and r >= 2 and n == b * r <= 256
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.05, (t, b, r, mid)
+        mids.append(mid)
+    assert mids == sorted(mids)
+    # budget cap respected
+    b, r, n = lsh_geometry_for(0.71, max_hashes=16)
+    assert n <= 16 and abs((1.0 / b) ** (1.0 / r) - 0.71) < 0.06
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_geometry_for(0.99)
