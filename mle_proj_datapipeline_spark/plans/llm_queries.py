@@ -1437,3 +1437,52 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall_at_3"),
     )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CASE WHEN {_h31("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                        THEN 'train'
+                    WHEN {_h31("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               len(string_split(text, ' ')) AS toks
+        FROM documents)
+    SELECT source, split,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens
+    FROM s GROUP BY source, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-stable
+    hash (H31 of a salted doc key) — membership is a pure function of
+    the row, so the split is reproducible under re-partitioning,
+    re-runs, and engine changes (the property a rand()-based split
+    silently loses; the reference's train_test_split re-shuffles every
+    run). Per-(source, split) doc/token yields come out in one pass.
+
+    Scale: narrow map + one partial-agg shuffle of (source, split)
+    pairs; no sampling action, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = dd.h31(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("toks"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -25,3 +25,15 @@ def test_readme_query_counts_match_registry():
     assert claimed_reg and int(claimed_reg.group(1)) == n
     claimed_oracle = re.search(r"`oracle_sql\(\)` \((\d+) exact DuckDB twins", text)
     assert claimed_oracle and int(claimed_oracle.group(1)) == n_oracled
+
+
+def test_bench_headline_names_resolve():
+    """Every bench headline name must exist in the registry — a rename
+    or missing plan-module import silently shrinks the bench otherwise
+    (the round-3 failure mode for the TPC-H additions)."""
+    import bench
+
+    from mle_proj_datapipeline_spark.plans.registry import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"headline names not in registry: {missing}"
