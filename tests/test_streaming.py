@@ -194,3 +194,107 @@ def test_incremental_corpus_ingestion(spark, tmp_path_factory):
     incremental_corpus(spark, f"{land}/*", sink, ckpt, docs.schema).awaitTermination(120)
     assert spark.read.parquet(sink).count() == n_before
     assert got  # sanity: the sink is non-trivial
+
+
+def test_stream_asof_equals_batch(spark, events_dir):
+    """Streaming as-of (stateful, applyInPandasWithState over the tagged
+    union) reproduces the batch as-of fold exactly on a single
+    AvailableNow pass, and the batch fold itself agrees with the
+    operators/joins.asof_join result on the same data."""
+    from mle_proj_datapipeline_spark.operators.joins import asof_join
+    from mle_proj_datapipeline_spark.streaming import asof as A
+
+    schema = _schema(spark, events_dir)
+    stream = A.tag_sides(W.file_stream(spark, events_dir, schema))
+    q = (
+        A.stream_asof(stream)
+        .writeStream.format("memory")
+        .queryName("asof_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(
+            (r["user_id"], r["event_id"], str(r["ts"]), str(r["matched_ts"]))
+            for r in df.collect()
+        )
+
+    got = rows(spark.table("asof_mem"))
+    batch = rows(A.batch_asof_reference(spark.read.parquet(events_dir)))
+    assert got == batch and len(got) > 0
+
+    # Cross-check the fold against the declarative batch as-of join.
+    e = spark.read.parquet(events_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("ts").alias("payload_ts")
+    )
+    j = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts")
+    want = sorted(
+        (
+            r["user_id"],
+            r["event_id"],
+            r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+            r["payload_ts"].strftime("%Y-%m-%d %H:%M:%S.%f") if r["payload_ts"] else "None",
+        )
+        for r in j.collect()
+    )
+    assert got == want
+
+
+def test_stream_asof_state_spans_batches(spark, tmp_path_factory):
+    """Rights seen in wave 1 persist in keyed state and match lefts
+    arriving in wave 2 — the property a per-batch join cannot give."""
+    import datetime as dt
+
+    from mle_proj_datapipeline_spark.streaming import asof as A
+    from mle_proj_datapipeline_spark.streaming import weekly as W
+
+    d = str(tmp_path_factory.mktemp("asof_waves"))
+    ck = str(tmp_path_factory.mktemp("asof_ck"))
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+
+    # wave 1: clicks only
+    frame([(1, base, 7, "click", 0.0, "{}")]).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    out_dir = str(tmp_path_factory.mktemp("asof_out"))
+
+    def run_wave():
+        q = (
+            A.stream_asof(A.tag_sides(W.file_stream(spark, d, schema)))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def out_rows():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []  # sink dir empty before first non-empty batch
+
+    run_wave()
+    assert len(out_rows()) == 0  # no lefts yet
+
+    # wave 2: a purchase AFTER the wave-1 click
+    frame([(2, base + dt.timedelta(minutes=5), 7, "purchase", 1.0, "{}")]).write.mode(
+        "append"
+    ).parquet(d)
+    run_wave()
+    rows = out_rows()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 7 and r["event_id"] == 2
+    assert r["matched_ts"] is not None and r["matched_ts"].startswith("2024-01-01 12:00:00")
