@@ -919,3 +919,68 @@ def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_cov"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-key EWMA: a recursive time-series fold, expressed declaratively
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "customer_value_ewma",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               list_transform(
+                   list_sort(list(struct_pack(d := o_orderdate,
+                                              k := o_orderkey,
+                                              v := o_totalprice))),
+                   x -> x.v) AS vs
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, n_orders,
+           round(list_reduce(vs, (acc, v) -> {1 - EWMA_ALPHA} * acc
+                                             + {EWMA_ALPHA} * v), 4) AS ewma_value
+    FROM g
+    """,
+)
+def customer_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each customer's order
+    value in arrival order — a RECURSIVE per-key fold (s_t depends on
+    s_{t-1}) with no window-function form, done declaratively: sort the
+    (date, key, value) structs inside an array and fold with the
+    built-in ``aggregate`` HOF. Seed = first value in both engines
+    (DuckDB list_reduce seeds with the head; Spark folds from NULL with
+    a coalesce), and both fold left-to-right with the identical
+    0.8*acc + 0.2*v expression, so the doubles are bit-equal.
+
+    Scale: one shuffle (the groupBy); per-group arrays are bounded by
+    orders-per-customer, not data volume; the fold is JVM codegen, no
+    UDF, no recursion, no iteration."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderdate").alias("d"),
+                        F.col("o_orderkey").alias("k"),
+                        F.col("o_totalprice").alias("v"),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ).alias("vs"),
+    )
+    ewma = F.aggregate(
+        F.col("vs"),
+        F.lit(None).cast("double"),
+        lambda acc, v: F.coalesce(
+            acc * F.lit(1 - EWMA_ALPHA) + v * F.lit(EWMA_ALPHA), v
+        ),
+    )
+    return g.select(
+        "o_custkey", "n_orders", F.round(ewma, 4).alias("ewma_value")
+    )
