@@ -93,11 +93,20 @@ def _coverage_order(names: list[str]) -> list[str]:
         except (OSError, ValueError):
             continue
         row_time = _git_mtime(path)
-        for name in rows:
-            if name in total:
-                total[name] += 1
-                if row_time >= impl_mtime(name):
-                    fresh[name] += 1
+        for name, row in rows.items():
+            if name not in total:
+                continue
+            # A failed/errored driver row is not coverage — the query
+            # must re-surface until it has a GREEN row (round-3 lesson:
+            # the NTZ breakage left err rows that must not satisfy the
+            # rotation).
+            if isinstance(row, dict) and (
+                row.get("err") or row.get("hash_match") is False
+            ):
+                continue
+            total[name] += 1
+            if row_time >= impl_mtime(name):
+                fresh[name] += 1
     index = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (fresh[n], total[n], index[n]))
 
