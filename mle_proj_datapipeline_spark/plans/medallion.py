@@ -284,6 +284,10 @@ def training_frame(
         wk = F.col("snapshot_week").cast("string")
         return df.filter((wk > str(start)) & (wk <= str(end)))
 
-    return in_window(features).join(
-        in_window(labels).select("id", "grade"), "id", "inner"
+    from mle_proj_datapipeline_spark.functions.core import binary_target
+
+    return (
+        in_window(features)
+        .join(in_window(labels).select("id", "grade"), "id", "inner")
+        .withColumn("target", binary_target("grade"))
     )

@@ -154,6 +154,14 @@ def test_training_frame_window_and_join(spark, domain, tmp_path_factory, pipelin
     assert "grade" in tf.columns and "id" in tf.columns
     # every id is labeled exactly once (inner join against deduped stores)
     assert tf.groupBy("id").count().filter("count > 1").count() == 0
+    # J7 binary target (reference model_operations.py:96): D..G -> 1
+    import pyspark.sql.functions as F
+
+    bad = tf.filter(
+        (F.col("grade").isin("D", "E", "F", "G") & (F.col("target") != 1))
+        | (~F.col("grade").isin("D", "E", "F", "G") & (F.col("target") != 0))
+    )
+    assert bad.count() == 0 and "target" in tf.columns
 
 
 def test_daily_bronze_mode(spark):

@@ -288,3 +288,31 @@ def test_lsh_geometry_for_targets_threshold():
 
     with pytest.raises(ValueError):
         lsh_geometry_for(0.99)
+
+
+def test_chunk_geometry_invariants():
+    """Sliding-window chunk math (plans/llm_queries.doc_sliding_chunks):
+    for any token count n >= 1, the windows (a) start at multiples of
+    the stride, (b) cover every token, (c) all but the last have full
+    width, and (d) the chunk count matches the closed form."""
+    from hypothesis import given, strategies as st
+
+    from mle_proj_datapipeline_spark.plans.llm_queries import CHUNK_S, CHUNK_W
+
+    @given(st.integers(min_value=1, max_value=5000))
+    def check(n):
+        n_chunks = 1 + max(0, -(-(n - CHUNK_W) // CHUNK_S)) if n > CHUNK_W else 1
+        # the engine's formula: 1 + floor((max(n-W,0) + S-1) / S)
+        formula = 1 + (max(n - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S
+        assert formula == n_chunks
+        covered = set()
+        for c in range(n_chunks):
+            start = c * CHUNK_S
+            end = min(start + CHUNK_W, n)
+            assert start < n, (n, c)
+            if c < n_chunks - 1:
+                assert end - start == CHUNK_W
+            covered.update(range(start, end))
+        assert covered == set(range(n))
+
+    check()
