@@ -984,3 +984,108 @@ def customer_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "o_custkey", "n_orders", F.round(ewma, 4).alias("ewma_value")
     )
+
+
+# --------------------------------------------------------------------------
+# J8 depth: weekly PSI drift SERIES vs the baseline week
+# --------------------------------------------------------------------------
+PSI_EPS = 1e-6
+PSI_QS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "weekly_psi_drift",
+    oracle=f"""
+    WITH wko AS (
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+               o_totalprice AS v
+        FROM orders),
+    b AS (SELECT min(wk) AS bwk FROM wko),
+    bps AS (
+        SELECT quantile_cont(v, [{", ".join(str(q) for q in PSI_QS)}]) AS bps
+        FROM wko, b WHERE wk = bwk),
+    bk AS (SELECT wk, len(list_filter(bps, x -> v > x)) AS bucket FROM wko, bps),
+    cnt AS (SELECT wk, bucket, count(*) AS n FROM bk GROUP BY wk, bucket),
+    tot AS (SELECT wk, count(*) AS t FROM wko GROUP BY wk),
+    spine AS (
+        SELECT w.wk, b2.bucket
+        FROM (SELECT DISTINCT wk FROM wko) w,
+             (SELECT unnest(range(0, 10)) AS bucket) b2),
+    frac AS (
+        SELECT s.wk, s.bucket,
+               greatest(CAST(coalesce(n, 0) AS DOUBLE) / t, {PSI_EPS}) AS f
+        FROM spine s
+        LEFT JOIN cnt ON s.wk = cnt.wk AND s.bucket = cnt.bucket
+        JOIN tot ON s.wk = tot.wk),
+    base AS (SELECT bucket, f AS ef FROM frac, b WHERE wk = bwk)
+    SELECT fr.wk,
+           round(sum((fr.f - base.ef) * ln(fr.f / base.ef)), 4) AS psi
+    FROM frac fr JOIN base ON fr.bucket = base.bucket, b
+    WHERE fr.wk != b.bwk
+    GROUP BY fr.wk
+    """,
+)
+def weekly_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift SERIES: every week's order-value distribution scored
+    against the baseline (first) week — the reference computes one PSI
+    pair per run (utils/model_operations.py:161-179); a monitoring
+    panel needs the whole trajectory in one job. Decile breakpoints
+    come from the baseline week only (its semantics), every week
+    buckets against those same broadcast breakpoints, and the PSI fold
+    is a per-week aggregate over an explicit (week × bucket) spine so
+    empty buckets clamp identically in both engines.
+
+    Scale: ONE scan of orders; the heavy shuffle is the (wk, bucket)
+    count — pre-aggregated map-side; everything after operates on
+    weeks×buckets rows (tiny). Breakpoints/baseline are broadcast
+    scalars."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd")
+    wko = o.select(wk.alias("wk"), F.col("o_totalprice").alias("v"))
+    bwk = wko.agg(F.min("wk").alias("bwk"))
+    bps = (
+        wko.crossJoin(F.broadcast(bwk))
+        .filter(F.col("wk") == F.col("bwk"))
+        .agg(F.percentile(F.col("v"), F.array(*[F.lit(q) for q in PSI_QS])).alias("bps"))
+    )
+    bucket = F.size(F.filter(F.col("bps"), lambda b: F.col("v") > b))
+    cnt = (
+        wko.crossJoin(F.broadcast(bps))
+        .select("wk", bucket.alias("bucket"))
+        .groupBy("wk", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = wko.groupBy("wk").agg(F.count(F.lit(1)).alias("t"))
+    spine = (
+        wko.select("wk")
+        .distinct()
+        .select("wk", F.explode(F.sequence(F.lit(0), F.lit(len(PSI_QS)))).alias("bucket"))
+    )
+    frac = (
+        spine.join(cnt, ["wk", "bucket"], "left")
+        .join(tot, "wk")
+        .select(
+            "wk",
+            "bucket",
+            F.greatest(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("t"),
+                F.lit(PSI_EPS),
+            ).alias("f"),
+        )
+    )
+    base = (
+        frac.crossJoin(F.broadcast(bwk))
+        .filter(F.col("wk") == F.col("bwk"))
+        .select("bucket", F.col("f").alias("ef"))
+    )
+    return (
+        frac.crossJoin(F.broadcast(bwk))
+        .filter(F.col("wk") != F.col("bwk"))
+        .join(F.broadcast(base), "bucket")
+        .groupBy("wk")
+        .agg(
+            F.round(
+                F.sum((F.col("f") - F.col("ef")) * F.log(F.col("f") / F.col("ef"))), 4
+            ).alias("psi")
+        )
+    )
