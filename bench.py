@@ -64,6 +64,8 @@ HEADLINE = [
     "purchase_click_window_pairs",
     "corpus_build_pipeline",
     "chunk_exact_dedup",
+    "weekly_psi_drift",
+    "customer_value_ewma",
 ]
 
 
