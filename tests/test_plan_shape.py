@@ -304,3 +304,20 @@ def test_corpus_build_single_scan(spark):
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters:")[1].split("]")[0], (
         f"lang filter not pushed to scan\n{plan}"
     )
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Blanket guard over the ENTIRE registry: no query may plan a
+    CartesianProduct, ever — the per-family guards above catch specific
+    regressions, this catches the next query someone registers with an
+    accidental unconstrained join."""
+    failures = []
+    for name in sorted(entrymod.queries()):
+        try:
+            plan = plan_of(spark, name, mode="simple")
+        except Exception as ex:  # pragma: no cover
+            failures.append(f"{name}: explain failed: {ex}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+    assert not failures, "\n".join(failures)
