@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import mle_proj_datapipeline_spark.plans.relational  # noqa: F401
 import mle_proj_datapipeline_spark.plans.pipeline_queries  # noqa: F401
-import mle_proj_datapipeline_spark.plans.llm_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.llm_dedup_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.llm_ann_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.llm_text_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.llm_corpus_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.feature_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.lifecycle_queries  # noqa: F401
@@ -128,20 +131,40 @@ def main() -> None:
     deltas = {
         n: round(timings[n] - prev[n], 3) for n in timings if n in prev
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "delta_vs_prev_round": deltas,
-            }
-        )
-    )
+    # The driver captures only the tail (~2 KB) of stdout, so the line it
+    # parses must stay compact: steady-state totals + per-query warm only,
+    # tight separators, 2-decimal precision. Cold timings and
+    # round-over-round deltas go to BENCH_DETAIL.json in-repo instead
+    # (VERDICT r4 item 1: parsed was null for rounds 2-4).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "delta_vs_prev_round": deltas,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # Hard guard: the driver tail is ~2 KB; if the headline list ever grows
+    # the line past that, drop per-query detail rather than go unparsed.
+    if len(line) > 1900:
+        compact["queries"] = {}
+        compact["queries_in"] = "BENCH_DETAIL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
