@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Importing the plan modules populates the registry.
 import mle_proj_datapipeline_spark.plans.relational  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.pipeline_queries  # noqa: F401,E402
-import mle_proj_datapipeline_spark.plans.llm_queries  # noqa: F401,E402
+import mle_proj_datapipeline_spark.plans.llm_dedup_queries  # noqa: F401,E402
+import mle_proj_datapipeline_spark.plans.llm_ann_queries  # noqa: F401,E402
+import mle_proj_datapipeline_spark.plans.llm_text_queries  # noqa: F401,E402
+import mle_proj_datapipeline_spark.plans.llm_corpus_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.feature_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.lifecycle_queries  # noqa: F401,E402

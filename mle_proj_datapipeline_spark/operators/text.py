@@ -86,7 +86,7 @@ def doc_fingerprint(text: Column | str) -> Column:
 
 # Character classes for the perplexity-proxy scorer. Each class is a
 # regex over one char; "other" is the complement. The same classes are
-# embedded in the SQL oracle (llm_queries.doc_ppl_scores).
+# embedded in the SQL oracle (llm_text_queries.doc_ppl_scores).
 PPL_CLASSES: tuple[tuple[str, str], ...] = (
     ("lower", "[a-z]"),
     ("upper", "[A-Z]"),

@@ -12,7 +12,7 @@
 - exact distinct cardinalities (§2 D extension: distinct-count family)
 
 Oracle SQL is generated from the same constants the Spark side uses
-(H31 hash, hyperplanes) — see plans/llm_queries.py for the convention.
+(H31 hash, hyperplanes) — see plans/llm_common.py for the convention.
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mle_proj_datapipeline_spark.operators import similarity as sim
-from mle_proj_datapipeline_spark.plans.llm_queries import _BUCKET, _COSINE, _h31
+from mle_proj_datapipeline_spark.plans.llm_common import _BUCKET, _COSINE, _h31
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
 

@@ -1,0 +1,401 @@
+"""Similarity-search query family: brute-force cosine, multi-band
+hyperplane LSH, IVF (fixed, trained, persisted-index), k-means quantizer
+training, embedding centroids, and recall evaluation (split from
+llm_queries.py so the per-file freshness clock tracks one family).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mle_proj_datapipeline_spark.operators import similarity as sim
+from mle_proj_datapipeline_spark.plans.llm_common import _COSINE, _bucket_sql
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Similarity: brute-force cosine top-k
+# --------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE.replace('a.embedding', 'q.embedding')} AS cosine
+        FROM q JOIN embeddings b ON q.vec_id != b.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for the first 50 vectors — the
+    brute-force baseline (broadcast queries, no candidate shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity: hyperplane-LSH bucketed top-1
+# --------------------------------------------------------------------------
+def _lsh_band_planes() -> list[list[list[float]]]:
+    allp = sim.hyperplanes(sim.BANDS * sim.PLANES_PER_BAND)
+    return [
+        allp[b * sim.PLANES_PER_BAND : (b + 1) * sim.PLANES_PER_BAND]
+        for b in range(sim.BANDS)
+    ]
+
+
+_BAND_BUCKETS = [_bucket_sql(p) for p in _lsh_band_planes()]
+
+
+@register(
+    "ann_lsh_top1",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      {_BAND_BUCKETS[0]} AS bk0,
+                      {_BAND_BUCKETS[1]} AS bk1
+               FROM embeddings),
+    pairs AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+        FROM v x JOIN v y
+          ON x.vec_id != y.vec_id AND (x.bk0 = y.bk0 OR x.bk1 = y.bk1)),
+    scored AS (
+        SELECT p.query_id, p.neighbor_id, {_COSINE} AS cosine
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk = 1
+    """,
+)
+def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via MULTI-BAND hyperplane LSH: 2 independent
+    8-plane sign-bit bucket keys per vector, candidates = union of
+    same-bucket pairs across bands (ids-only shuffle + distinct), exact
+    cosine rerank on the surviving pairs. Bucket count per band scales
+    with the corpus via sim.planes_per_band_for — expected bucket size
+    stays constant at 100×, so the within-bucket join never goes
+    quadratic (fix for the fixed-256-bucket round-1 geometry)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_top1(emb)
+
+
+# --------------------------------------------------------------------------
+# Similarity: IVF (inverted-file) probe + rerank
+# --------------------------------------------------------------------------
+def _ivf_dist_sql(vec: str, centroid: list[float]) -> str:
+    lits = "[" + ", ".join(repr(v) for v in centroid) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {sim.EMB_DIM + 1}), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - ({lits})[i]) * (CAST({vec}[i] AS DOUBLE) - ({lits})[i])), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _ivf_oracle() -> str:
+    cs = sim.ivf_centroids()
+    d_arr = "[" + ", ".join(_ivf_dist_sql("embedding", c) for c in cs) + "]"
+    cell = f"list_position({d_arr}, list_min({d_arr}))"
+    probes = (
+        f"list_transform(list_sort(list_transform(range(1, {len(cs)} + 1), "
+        f"k -> {{'dist': ({d_arr})[k], 'idx': k}}))[1:{sim.NUM_PROBES}], s -> s.idx)"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding, {cell} AS cell FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding, unnest({probes}) AS cell
+        FROM embeddings WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {_COSINE.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} AS cosine
+        FROM q JOIN c ON q.cell = c.cell AND q.query_id != c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 3
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus indexed by nearest deterministic centroid, query
+    probes its 2 nearest cells, exact cosine rerank within them — the
+    second scale path (complements hyperplane LSH; per-query work is
+    probed-cells-sized, shuffle key is the cell id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+
+
+# --------------------------------------------------------------------------
+# Embedding centroids per label group (no array re-assembly)
+# --------------------------------------------------------------------------
+@register(
+    "label_embedding_centroids",
+    oracle=f"""
+    WITH e AS (
+        SELECT label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings, range(1, {sim.EMB_DIM + 1}) t(i)),
+    c AS (SELECT label, i, avg(v) AS m, count(*) AS n FROM e GROUP BY label, i),
+    g AS (SELECT i, avg(v) AS gm FROM e GROUP BY i),
+    dots AS (
+        SELECT c.label,
+               max(c.n) AS n_vecs,
+               sum(c.m * g.gm) AS dot,
+               sqrt(sum(c.m * c.m)) AS cn,
+               sqrt(sum(g.gm * g.gm)) AS gn
+        FROM c JOIN g USING (i) GROUP BY c.label)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           round(cn, 4) AS centroid_norm,
+           round(dot / (cn * gn), 4) AS cos_to_global
+    FROM dots
+    """,
+)
+def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids and their cosine against the global
+    centroid — the drift/separability panel for an embedding corpus.
+
+    Scale shape: the vector column is posexploded to (label, dim, value)
+    and every downstream step is a map-side combinable aggregate — the
+    centroid is NEVER re-assembled into an array, so no collect_list
+    ordering hazards and no wide rows through the shuffle; the final
+    cosine folds over a (labels × 64)-row frame joined to a 64-row
+    broadcast global centroid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v0")
+    ).select("label", (F.col("i0") + 1).alias("i"), F.col("v0").cast("double").alias("v"))
+    c = e.groupBy("label", "i").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    g = e.groupBy("i").agg(F.avg("v").alias("gm"))
+    dots = (
+        c.join(F.broadcast(g), "i")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sum(F.col("m") * F.col("gm")).alias("dot"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("cn"),
+            F.sqrt(F.sum(F.col("gm") * F.col("gm"))).alias("gn"),
+        )
+    )
+    return dots.select(
+        "label",
+        "n_vecs",
+        F.round(F.col("cn"), 4).alias("centroid_norm"),
+        F.round(F.col("dot") / (F.col("cn") * F.col("gn")), 4).alias("cos_to_global"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K-means coarse quantizer (distributed Lloyd's, unrolled-CTE oracle)
+# --------------------------------------------------------------------------
+def _kmeans_cte_prefix() -> str:
+    """Shared unrolled-Lloyd CTE chain (2 iterations): c0 init → d1/a1
+    first assign → c1 updated centroids → d2/a2 final assign. Reused by
+    the quantizer query and the trained-IVF query so both verify the
+    SAME training math."""
+    init = sim.ivf_centroids()
+    vals = ", ".join(
+        f"({cell + 1}, {i + 1}, {float(v)!r})"
+        for cell, c in enumerate(init)
+        for i, v in enumerate(c)
+    )
+    return f"""c0(cell, i, m) AS (VALUES {vals}),
+    v AS (
+        SELECT vec_id AS vid, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings, range(1, {sim.EMB_DIM + 1}) t(i)),
+    d1 AS (
+        SELECT vid, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
+        FROM v JOIN c0 USING (i) GROUP BY vid, cell),
+    a1 AS (
+        SELECT vid, cell, dist_sq,
+               row_number() OVER (PARTITION BY vid ORDER BY dist_sq ASC, cell ASC) AS rk
+        FROM d1),
+    c1 AS (
+        SELECT cell, i, round(avg(v), 6) AS m
+        FROM (SELECT vid, cell FROM a1 WHERE rk = 1) a JOIN v USING (vid)
+        GROUP BY cell, i),
+    d2 AS (
+        SELECT vid, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
+        FROM v JOIN c1 USING (i) GROUP BY vid, cell),
+    a2 AS (
+        SELECT vid, cell, dist_sq,
+               row_number() OVER (PARTITION BY vid ORDER BY dist_sq ASC, cell ASC) AS rk
+        FROM d2)"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {_kmeans_cte_prefix()}
+    SELECT cell, count(*) AS n_vecs, round(sum(dist_sq), 4) AS inertia
+    FROM a2 WHERE rk = 1 GROUP BY cell
+    """
+
+
+@register("kmeans_embedding_cells", oracle=_kmeans_oracle())
+def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL k-means coarse-quantizer training (closes the round-1
+    "fixed pseudo-random codebook" gap): two Lloyd iterations from the
+    deterministic H31 init, MLlib-style — the k·dim codebook lives on
+    the driver (bounded dictionary) and compiles into a closed-form
+    nearest-cell expression, so ASSIGNMENT IS JOINLESS MAP WORK
+    (plan-guarded: no join operator of any kind); update is one
+    posexplode + per-(cell,dim) mean, the only shuffle per iteration.
+    Row-join fallback documented in kmeans_fit for codebooks past the
+    expression ceiling. The oracle unrolls both iterations as CTEs, so
+    every mean and every argmin is hash-verified. Output: per-cell
+    membership and inertia."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.kmeans_iterate(emb, iterations=2)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("dist_sq"), 4).alias("inertia"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF over the TRAINED codebook (kmeans_fit feeds ivf cell index)
+# --------------------------------------------------------------------------
+def _ivf_trained_oracle() -> str:
+    return f"""
+    WITH {_kmeans_cte_prefix()},
+    cand AS (SELECT vid AS neighbor_id, cell FROM a2 WHERE rk = 1),
+    qd AS (
+        SELECT vid AS query_id, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
+        FROM v JOIN c1 USING (i) WHERE vid < 50 GROUP BY vid, cell),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist_sq ASC, cell ASC) AS rk
+            FROM qd) WHERE rk <= {sim.NUM_PROBES}),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id, {_COSINE} AS cosine
+        FROM probes p JOIN cand c USING (cell)
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+        WHERE p.query_id != c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 3
+    """
+
+
+@register("ann_ivf_trained_topk", oracle=_ivf_trained_oracle())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is the TRAINED k-means codebook
+    (sim.kmeans_fit — two unrolled Lloyd iterations from the H31 init),
+    closing the "ivf_topk doesn't consume the trainer" gap: candidate
+    cells are the final k-means assignment, query probe lists score
+    against the same trained centroid rows, exact cosine rerank within
+    probed cells. The oracle re-derives the entire training run (shared
+    CTE prefix with kmeans_embedding_cells) plus the probe/rerank, so
+    codebook, assignment, probes, and ranking are all hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_trained_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+
+
+@register("ann_ivf_indexed_topk", oracle=_ivf_trained_oracle())
+def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k served from a PERSISTED IVF index: ivf_index_build
+    trains the k-means codebook once and commits codebook + assignment
+    as snapshot tables; ivf_index_topk then serves queries with ZERO
+    training work (bounded codebook collect + equi-join on the
+    committed assignment). Same oracle as ann_ivf_trained_topk — the
+    persisted path must reproduce the in-query training path exactly.
+    tests/test_similarity_scale.py proves the reuse property: a second
+    query batch against the same index runs no kmeans jobs."""
+    import os
+
+    from mle_proj_datapipeline_spark.sources.metrics import warehouse_root
+    from mle_proj_datapipeline_spark.sources.snapshots import expire
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    root = os.path.join(warehouse_root(), f"ivf_index_{tag}")
+    sim.ivf_index_build(emb, root)
+    expire(spark, f"{root}/codebook", keep_last=3)
+    expire(spark, f"{root}/assignment", keep_last=3)
+    return sim.ivf_index_topk(spark, emb.filter(F.col("vec_id") < 50), root, k=3)
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      {_BAND_BUCKETS[0]} AS bk0,
+                      {_BAND_BUCKETS[1]} AS bk1
+               FROM embeddings),
+    pairs AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+        FROM v x JOIN v y
+          ON x.vec_id != y.vec_id AND (x.bk0 = y.bk0 OR x.bk1 = y.bk1)),
+    lscored AS (
+        SELECT p.query_id, p.neighbor_id, {_COSINE} AS cosine
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM lscored) WHERE rk = 1 AND query_id < 50),
+    bscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS cosine
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) a
+        JOIN embeddings b ON a.vec_id != b.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM bscored) WHERE rk <= 3)
+    SELECT count(*) AS n_lsh_queries,
+           count(bf.neighbor_id) AS n_hits,
+           round(CAST(count(bf.neighbor_id) AS DOUBLE) / count(*), 4) AS recall_at_3
+    FROM lsh LEFT JOIN bf
+      ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation — the pipeline op that decides whether
+    an ANN geometry is good enough to ship: recall@3 of the multi-band
+    LSH top-1 against the exact brute-force top-3 over the evaluation
+    slice. Both arms are the engine's own operators; the oracle
+    re-derives both and the join, so the recall number itself is
+    hash-verified. Scale: the expensive arm (exact top-k) runs only on
+    the bounded evaluation slice — the standard sampled-recall
+    methodology."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = (
+        sim.lsh_top1(emb)
+        .filter(F.col("query_id") < 50)
+        .select("query_id", "neighbor_id")
+    )
+    bf = (
+        sim.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    j = lsh.join(bf, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lsh_queries"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall_at_3"),
+    )
+

@@ -1,0 +1,274 @@
+"""Text-analysis query family: fingerprints, language-ID, quality
+scoring, TF-IDF, perplexity proxy, repetition filter (split from
+llm_queries.py so the per-file freshness clock tracks one family).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mle_proj_datapipeline_spark.operators import text as tx
+from mle_proj_datapipeline_spark.plans.llm_common import P, _h31
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Text: document fingerprint (rolling hash) groups
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_transform(string_split(text, ' '), tok -> {_h31('tok')}) AS hs
+        FROM documents)
+    SELECT CAST(list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
+                            (acc, x) -> (acc * 31 + x) % {P}) AS BIGINT) AS fp,
+           count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM t GROUP BY 1
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial fingerprint per doc; grouping exposes
+    exact token-sequence duplicates. 500/5000 distinct fp values make
+    this a strong cross-engine hash-parity check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(tx.doc_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: language-ID heuristic (confusion vs labeled lang)
+# --------------------------------------------------------------------------
+_LANG_SCORES = {
+    lang: f"len(list_filter(string_split(text,' '), t -> t IN ({', '.join(repr(w) for w in ws)})))"
+    for lang, ws in sorted(tx.LANG_STOPWORDS.items())
+}
+_G = f"greatest({', '.join(_LANG_SCORES.values())})"
+_PRED = (
+    "CASE WHEN " + _G + " = 0 THEN 'und' "
+    + " ".join(f"WHEN {s} = {_G} THEN '{lang}'" for lang, s in _LANG_SCORES.items())
+    + " END"
+)
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT lang, {_PRED} AS lang_pred, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang column (confusion
+    counts). Ties resolve alphabetically; no hits → 'und'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: quality scoring profile
+# --------------------------------------------------------------------------
+@register(
+    "doc_quality_by_lang",
+    oracle="""
+    WITH q AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+                 / length(text) AS alpha_ratio,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_words
+        FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)      AS total_tokens,
+           CAST(sum(n_alpha_words) AS BIGINT) AS total_alpha_words,
+           round(avg(alpha_ratio), 4) AS avg_alpha_ratio,
+           CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) AS chars_per_token
+    FROM q GROUP BY lang
+    """,
+)
+def doc_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter features (length/token/char-class ratios) rolled up
+    per language — the shape of a pretraining quality gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = tx.quality_features(F.col("text"))
+    q = docs.select(
+        "lang",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        tx.word_count_regex(F.col("text")).alias("n_alpha_words"),
+    )
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_alpha_words").alias("total_alpha_words"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text: TF-IDF top terms per corpus source
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    tf  AS (SELECT doc_id, source, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, source, term),
+    df  AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n   AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               round(avg(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)), 4) AS avg_tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        GROUP BY tf.source, tf.term),
+    ranked AS (
+        SELECT source, term, avg_tfidf,
+               row_number() OVER (PARTITION BY source ORDER BY avg_tfidf DESC, term ASC) AS rk
+        FROM scored)
+    SELECT source, term, avg_tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per corpus source by average TF-IDF
+    — explode → two hash aggregations (tf per doc-term, df per term) →
+    broadcast the (small) df table back → per-source top-k. No MLlib
+    HashingTF (hash collisions would make the oracle inexact); the df
+    side is a term dictionary, exactly the global-dictionary pattern the
+    engine uses for categorical encoding."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("source", "term")
+        .agg(
+            F.round(
+                F.avg(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))), 4
+            ).alias("avg_tfidf")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("avg_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "avg_tfidf", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: perplexity-proxy quality scoring (Arrow pandas-UDF path)
+# --------------------------------------------------------------------------
+_PPL_COUNTS = ", ".join(
+    f"length(regexp_replace(text, '[^{rx[1:-1]}]', '', 'g')) AS k{i}"
+    for i, (_, rx) in enumerate(tx.PPL_CLASSES)
+)
+_PPL_OTHER = "n - " + " - ".join(f"k{i}" for i in range(len(tx.PPL_CLASSES)))
+
+
+def _ppl_term(k: str) -> str:
+    return (
+        f"CASE WHEN {k} > 0 THEN -(CAST({k} AS DOUBLE)/n)*ln(CAST({k} AS DOUBLE)/n) "
+        "ELSE 0 END"
+    )
+
+
+_PPL_H = " + ".join(_ppl_term(f"k{i}") for i in range(len(tx.PPL_CLASSES) + 1))
+
+
+@register(
+    "doc_ppl_scores",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, lang, length(text) AS n, {_PPL_COUNTS} FROM documents),
+    k AS (SELECT *, {_PPL_OTHER} AS k{len(tx.PPL_CLASSES)} FROM c)
+    SELECT doc_id, lang,
+           CASE WHEN n = 0 THEN NULL ELSE round(exp({_PPL_H}), 4) END AS ppl_proxy
+    FROM k
+    """,
+)
+def doc_ppl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy (char-class entropy, operators/
+    text.ppl_proxy_udf) scored through the vectorized Arrow pandas-UDF
+    path — the quality-classifier slot a real LM scorer plugs into. The
+    oracle recomputes the identical entropy from SQL class counts, so
+    the whole Arrow batch pipeline (serialization, null handling,
+    batching) is exact-hash-verified, not just smoke-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = tx.ppl_proxy_udf()
+    return docs.select(
+        "doc_id", "lang", F.round(ppl(F.col("text")), 4).alias("ppl_proxy")
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-style rules)
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+    s AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(n) AS BIGINT) AS top_n
+        FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           round(n_distinct / CAST(total AS DOUBLE), 4) AS ttr,
+           round(top_n / CAST(total AS DOUBLE), 4) AS top_ratio,
+           CAST(CASE WHEN n_distinct / CAST(total AS DOUBLE) >= 0.3
+                      AND top_n / CAST(total AS DOUBLE) <= 0.2
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s
+    """,
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rule family):
+    type-token ratio and most-common-token share per document; ``keep``
+    drops boilerplate/degenerate docs (ttr < 0.3 or one token > 20%).
+
+    Scale: explode + two partial-agg groupBys keyed on doc_id — shuffle
+    volume is (doc, distinct-token) pairs, and every aggregate is
+    map-side combinable. No per-doc quadratic HOF over the token array
+    (an aggregate-within-transform would re-scan the array per distinct
+    token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    s = counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    ttr = F.col("n_distinct") / F.col("total").cast("double")
+    top = F.col("top_n") / F.col("total").cast("double")
+    return s.select(
+        "doc_id",
+        F.round(ttr, 4).alias("ttr"),
+        F.round(top, 4).alias("top_ratio"),
+        F.when((ttr >= 0.3) & (top <= 0.2), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
+    )
+

@@ -33,7 +33,7 @@ from pyspark.sql.utils import AnalysisException
 from mle_proj_datapipeline_spark.operators.dedup import exact_dedup
 from mle_proj_datapipeline_spark.streaming.weekly import file_stream
 
-# Gopher-style keep rules (plans/llm_queries.doc_repetition_quality)
+# Gopher-style keep rules (plans/llm_text_queries.doc_repetition_quality)
 MIN_TTR = 0.3
 MAX_TOP_RATIO = 0.2
 

@@ -107,7 +107,7 @@ def test_packing_conserves_tokens_and_pack_ids(spark):
     per source."""
     import pyspark.sql.functions as F
 
-    from mle_proj_datapipeline_spark.plans.llm_queries import context_window_packing
+    from mle_proj_datapipeline_spark.plans.llm_corpus_queries import context_window_packing
     from mle_proj_datapipeline_spark.sources.catalog import load_table
 
     sf = "/root/testdata/sf0.01"
@@ -133,7 +133,7 @@ def test_decontamination_flags_only_real_overlap(spark):
     cloned into train) must be flagged at 1.0."""
     import pyspark.sql.functions as F
 
-    from mle_proj_datapipeline_spark.plans.llm_queries import benchmark_decontamination
+    from mle_proj_datapipeline_spark.plans.llm_corpus_queries import benchmark_decontamination
 
     rows = benchmark_decontamination(spark, "/root/testdata/sf0.01").collect()
     assert all(0 < r["containment"] <= 1.0 for r in rows)
@@ -173,7 +173,7 @@ def test_quality_keep_agrees_with_repetition_query(spark):
     variant — must produce identical ttr/top_ratio/keep per doc."""
     import pyspark.sql.functions as F
 
-    from mle_proj_datapipeline_spark.plans.llm_queries import doc_repetition_quality
+    from mle_proj_datapipeline_spark.plans.llm_text_queries import doc_repetition_quality
     from mle_proj_datapipeline_spark.sources.catalog import load_table
     from mle_proj_datapipeline_spark.streaming.corpus import quality_keep
 

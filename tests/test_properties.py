@@ -291,13 +291,13 @@ def test_lsh_geometry_for_targets_threshold():
 
 
 def test_chunk_geometry_invariants():
-    """Sliding-window chunk math (plans/llm_queries.doc_sliding_chunks):
+    """Sliding-window chunk math (plans/llm_corpus_queries.doc_sliding_chunks):
     for any token count n >= 1, the windows (a) start at multiples of
     the stride, (b) cover every token, (c) all but the last have full
     width, and (d) the chunk count matches the closed form."""
     from hypothesis import given, strategies as st
 
-    from mle_proj_datapipeline_spark.plans.llm_queries import CHUNK_S, CHUNK_W
+    from mle_proj_datapipeline_spark.plans.llm_corpus_queries import CHUNK_S, CHUNK_W
 
     @given(st.integers(min_value=1, max_value=5000))
     def check(n):

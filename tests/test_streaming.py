@@ -123,11 +123,11 @@ def test_stream_stream_interval_join(spark, events_dir):
 
 def test_pii_scrub_stream_equals_batch(spark, tmp_path_factory):
     """The corpus-op family is batch/stream unified: the SAME scrub
-    projection (plans/llm_queries.pii_scrub_frame) runs on a file
+    projection (plans/llm_corpus_queries.pii_scrub_frame) runs on a file
     stream and must emit exactly the batch result."""
     import pyspark.sql.functions as F
 
-    from mle_proj_datapipeline_spark.plans.llm_queries import pii_scrub_frame
+    from mle_proj_datapipeline_spark.plans.llm_corpus_queries import pii_scrub_frame
     from mle_proj_datapipeline_spark.sources.catalog import load_table
     from mle_proj_datapipeline_spark.streaming.weekly import file_stream, run_to_memory
 
