@@ -556,17 +556,46 @@ def ivf_index_build(
     vector itself, so the query path is self-contained, no join back to
     the corpus). This is the 100 TB usage pattern the in-query trainer
     only simulates: pay training once, serve every subsequent query
-    batch from the committed index. Returns the codebook version."""
+    batch from the committed index. Returns the codebook version.
+
+    Commit pairing: the codebook commits FIRST and the assignment
+    records its version in meta — readers pin that pair, so a crash
+    between the two commits (or a reader racing a rebuild) can never
+    score probe lists against centroids from a different training run
+    than the assignment was built with."""
     from mle_proj_datapipeline_spark.sources.snapshots import write_snapshot
 
     assigned, cent = kmeans_fit(
         vecs, id_col, vec_col, iterations=iterations, round_to=round_to
     )
     one = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    vcb = write_snapshot(cent, f"{root}/codebook")
     write_snapshot(
-        assigned.select("vid", "cell").join(one, "vid"), f"{root}/assignment"
+        assigned.select("vid", "cell").join(one, "vid"),
+        f"{root}/assignment",
+        meta={"codebook_version": vcb},
     )
-    return write_snapshot(cent, f"{root}/codebook")
+    return vcb
+
+
+def _pinned_codebook(spark, root: str) -> tuple[list[list[float]], list[int]]:
+    """Load the codebook version the LATEST assignment commit was built
+    with (``codebook_version`` in the assignment manifest's meta) —
+    never the bare latest codebook, which may belong to an in-flight
+    rebuild that has committed its codebook but not yet its assignment.
+    Returns (book, cells) with book rows ordered like ``cells``."""
+    from mle_proj_datapipeline_spark.sources.snapshots import history, read_snapshot
+
+    snaps = history(spark, f"{root}/assignment")
+    pinned = snaps[-1].get("meta", {}).get("codebook_version") if snaps else None
+    book_rows = read_snapshot(spark, f"{root}/codebook", version=pinned).collect()
+    cells = sorted({r["cell"] for r in book_rows})
+    dim = max(r["i"] for r in book_rows)
+    pos = {c: p for p, c in enumerate(cells)}
+    book: list[list[float]] = [[0.0] * dim for _ in cells]
+    for r in book_rows:
+        book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
+    return book, cells
 
 
 def ivf_index_topk(
@@ -584,16 +613,12 @@ def ivf_index_topk(
     collects to the driver and compiles into the closed-form probe
     expression; candidates come straight off the committed assignment
     table, pre-partitioned by cell. Identical results to
-    ivf_trained_topk for the same corpus/params (tested + same oracle)."""
+    ivf_trained_topk for the same corpus/params (tested + same oracle).
+    The codebook is the one PINNED by the assignment commit
+    (_pinned_codebook), so a racing rebuild can't mismatch the pair."""
     from mle_proj_datapipeline_spark.sources.snapshots import read_snapshot
 
-    book_rows = read_snapshot(spark, f"{root}/codebook").collect()
-    cells = sorted({r["cell"] for r in book_rows})
-    dim = max(r["i"] for r in book_rows)
-    pos = {c: p for p, c in enumerate(cells)}
-    book: list[list[float]] = [[0.0] * dim for _ in cells]
-    for r in book_rows:
-        book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
+    book, cells = _pinned_codebook(spark, root)
     cell_ids = F.array(*[F.lit(c) for c in cells])
 
     c = read_snapshot(spark, f"{root}/assignment").select(
@@ -638,19 +663,17 @@ def ivf_index_append(
     pattern: the codebook retrains on a cadence (ivf_index_build), while
     arriving batches append cheaply between rebuilds; wiring this into
     foreachBatch gives streaming index ingestion as-is. Returns the new
-    assignment version."""
-    from mle_proj_datapipeline_spark.sources.snapshots import (
-        read_snapshot,
-        write_snapshot,
-    )
+    assignment version.
 
-    book_rows = read_snapshot(spark, f"{root}/codebook").collect()
-    cells = sorted({r["cell"] for r in book_rows})
-    dim = max(r["i"] for r in book_rows)
-    pos = {c: p for p, c in enumerate(cells)}
-    book: list[list[float]] = [[0.0] * dim for _ in cells]
-    for r in book_rows:
-        book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
+    The frozen codebook is the one PINNED by the current assignment
+    commit (not the bare latest — a rebuild's freshly committed codebook
+    must not leak into an append against the old assignment), and the
+    append re-records the same pin so the pair stays consistent."""
+    from mle_proj_datapipeline_spark.sources.snapshots import history, write_snapshot
+
+    snaps = history(spark, f"{root}/assignment")
+    pinned = snaps[-1].get("meta", {}).get("codebook_version") if snaps else None
+    book, cells = _pinned_codebook(spark, root)
     cell_ids = F.array(*[F.lit(c) for c in cells])
 
     batch = new_vecs.select(
@@ -658,4 +681,9 @@ def ivf_index_append(
         F.element_at(cell_ids, ivf_cell(vec_col, book, round_to=round_to)).alias("cell"),
         F.col(vec_col).alias("v"),
     )
-    return write_snapshot(batch, f"{root}/assignment", mode="append")
+    return write_snapshot(
+        batch,
+        f"{root}/assignment",
+        mode="append",
+        meta={"codebook_version": pinned},
+    )

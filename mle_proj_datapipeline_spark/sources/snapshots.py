@@ -23,10 +23,12 @@ designs of both inform the layout):
   Concurrent committers serialize: a losing writer re-reads the history
   and retries on the next version — no silent manifest clobber (the
   pre-CAS hazard: local-FS rename overwrites an existing destination).
-  Orphaned claims from crashed writers are skipped after a stall probe
-  and swept by `expire`. Residual caveat vs a real table format:
-  version numbers can skip after a writer crash, and cross-writer
-  APPEND linearization around a crashed claim is best-effort.
+  Orphaned claims from crashed writers are probed past only once the
+  claim file ages beyond CLAIM_STALL_SECONDS (a live-but-slow holder is
+  waited on, not forked past), a pre-rename parent re-check stops a
+  probed-past writer from committing a stale-parent lineage fork, and
+  `expire` sweeps stale claims. Residual caveat vs a real table format:
+  version numbers can skip after a writer crash.
 - OVERWRITE lists only new files; APPEND lists parent files + new.
   MERGE (upsert) and COMPACT (small-file bin-packing) are rewrites
   committed as new versions, so both are time-travel-safe.
@@ -51,6 +53,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 SNAP_DIR = "_snapshots"
 
+# A commit claim younger than this is treated as a possibly-live writer
+# (GC pause, slow FS) and waited on; only older claims are probed past
+# as crashed. Deliberately much longer than any plausible pause — the
+# cost of waiting is a failed commit that retries, the cost of probing
+# early is a forked lineage.
+CLAIM_STALL_SECONDS = 300.0
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -68,15 +77,27 @@ def _create_exclusive(spark: SparkSession, path: str) -> bool:
     Hadoop's LocalFileSystem.create(path, overwrite=False) checks
     existence THEN creates (TOCTOU — two racing writers can both
     "win"), so for file:// / schemeless paths this drops to
-    java.io.File.createNewFile, which is O_CREAT|O_EXCL. On HDFS/S3A
-    the namenode/object-store create-without-overwrite is atomic
-    server-side, so the Hadoop API is used as-is."""
+    java.io.File.createNewFile, which is O_CREAT|O_EXCL. On HDFS the
+    namenode create-without-overwrite is atomic server-side. On S3A it
+    is NOT by default: Hadoop implements create(overwrite=false) as a
+    HEAD-then-PUT existence check (the same TOCTOU), so S3A paths are
+    refused unless conditional creates (If-None-Match, S3A's
+    fs.s3a.create.conditional.enabled) are turned on."""
     fs, jvm = _fs(spark, path)
     jpath = _jpath(spark, path)
     fs.mkdirs(jpath.getParent())
     scheme = jpath.toUri().getScheme()
     if scheme in (None, "file"):
         return bool(jvm.java.io.File(jpath.toUri().getPath()).createNewFile())
+    if scheme == "s3a":
+        conf = spark._jsc.hadoopConfiguration()
+        if (conf.get("fs.s3a.create.conditional.enabled") or "").lower() != "true":
+            raise RuntimeError(
+                "snapshot commits on s3a:// require conditional creates "
+                "(set fs.s3a.create.conditional.enabled=true); plain S3A "
+                "create(overwrite=false) is HEAD-then-PUT and cannot "
+                "serialize concurrent committers"
+            )
     try:
         out = fs.create(jpath, False)
         out.close()
@@ -85,6 +106,21 @@ def _create_exclusive(spark: SparkSession, path: str) -> bool:
         if "Exists" in type(ex).__name__ or "exists" in str(ex).lower():
             return False
         raise
+
+
+def _claim_age(spark: SparkSession, path: str) -> float:
+    """Seconds since the claim file at ``path`` was written; -1.0 if it
+    does not exist (the version is claimable)."""
+    import time as _time
+
+    fs, _ = _fs(spark, path)
+    jpath = _jpath(spark, path)
+    try:
+        if not fs.exists(jpath):
+            return -1.0
+        return _time.time() - fs.getFileStatus(jpath).getModificationTime() / 1000.0
+    except Exception:
+        return -1.0
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
@@ -183,24 +219,31 @@ def write_snapshot(
     # history and retries on the next version, so concurrent committers
     # serialize instead of silently overwriting each other's manifest
     # (local-FS rename DOES clobber an existing destination — the
-    # pre-CAS lost-commit hazard). If the latest version stops moving
-    # across retries (a claimer crashed between claim and rename), the
-    # writer probes past the orphaned claim; `expire` sweeps stale
-    # claims. Version numbers may skip after such a crash — manifests
-    # are ordered by version, readers are indifferent.
+    # pre-CAS lost-commit hazard).
+    #
+    # Orphaned claims (a claimer crashed between claim and rename) are
+    # probed past only when the claim FILE is older than
+    # CLAIM_STALL_SECONDS — a live-but-slow holder (GC pause, slow FS)
+    # must not be misclassified as crashed, because committing a sibling
+    # version from a stale parent forks the lineage (append mode would
+    # drop the concurrent winner's files). As a second fence, the parent
+    # is re-verified against history immediately before the manifest
+    # rename: a writer that stalled long enough to be probed past
+    # abandons its claim and retries on a fresh parent instead of
+    # committing the fork. `expire` sweeps stale claims; version numbers
+    # may skip after a crash — manifests are ordered by version, readers
+    # are indifferent.
     fs, _ = _fs(spark, root)
-    version = 0
-    stalled = 0
-    last_seen = -1
     for _attempt in range(25):
         snaps = history(spark, root)
         parent = snaps[-1] if snaps else None
         latest = parent["version"] if parent else 0
-        if latest == last_seen:
-            stalled += 1
-        else:
-            stalled, last_seen = 0, latest
-        version = max(latest + 1, version + 1 if stalled >= 3 else latest + 1)
+        version = latest + 1
+        # Skip versions whose claim is demonstrably abandoned (no
+        # manifest, claim file old). A younger blocking claim means a
+        # possibly-live writer: wait for it rather than fork.
+        while _claim_age(spark, f"{root}/{SNAP_DIR}/.v{version:08d}.claim") > CLAIM_STALL_SECONDS:
+            version += 1
         if timestamp is None:
             # default wall clock is re-read per attempt so a losing
             # writer can't stamp behind the winner it retries after
@@ -233,6 +276,15 @@ def write_snapshot(
             "files": files,
             "meta": meta or {},
         }
+        # Pre-rename fence: if another commit landed after `parent` was
+        # read (possible only when this writer stalled long enough to be
+        # probed past as an orphan), the staged manifest references a
+        # stale parent — renaming it would fork the lineage and, in
+        # append mode, drop the concurrent winner's files. Abandon the
+        # claim (swept by `expire`) and retry on the fresh history.
+        cur = history(spark, root)
+        if (cur[-1]["version"] if cur else 0) != latest:
+            continue
         tmp = f"{root}/{SNAP_DIR}/.v{version:08d}-{uuid.uuid4().hex[:8]}.json.tmp"
         final = f"{root}/{SNAP_DIR}/v{version:08d}.json"
         _write_text(spark, tmp, json.dumps(manifest))

@@ -79,8 +79,12 @@ def tag_sides(
 def _fold_group(
     user_id: int, pdf: pd.DataFrame, rights: list[str]
 ) -> tuple[list[dict], list[str]]:
-    # rights sort before lefts at equal ts → exact matches attach
-    pdf = pdf.sort_values(["ts_s", "side"], kind="mergesort")  # 'L' > 'R'
+    # rights sort before lefts at equal ts → exact matches attach.
+    # side must be DESCENDING: ASCII 'L' < 'R', so an ascending sort
+    # would process lefts first and drop exact-timestamp matches.
+    pdf = pdf.sort_values(
+        ["ts_s", "side"], ascending=[True, False], kind="mergesort"
+    )
     out: list[dict] = []
     for ts_s, side, event_id in zip(pdf["ts_s"], pdf["side"], pdf["event_id"]):
         if side == "R":

@@ -245,6 +245,61 @@ def test_stream_asof_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_stream_asof_exact_tie_matches(spark):
+    """A right (click) at EXACTLY a left's (purchase's) timestamp must
+    attach — backward as-of with exact matches allowed. Regression test
+    for the side-sort direction: ASCII 'L' < 'R', so a plain ascending
+    sort processed lefts BEFORE rights at equal timestamps and silently
+    dropped exact matches. The stream==batch parity test cannot catch
+    this (both sides share _fold_group), so the tie case is pinned
+    against operators/joins.asof_join, which tags sides numerically."""
+    import datetime as dt
+
+    from mle_proj_datapipeline_spark.operators.joins import asof_join
+    from mle_proj_datapipeline_spark.streaming import asof as A
+
+    base = dt.datetime(2024, 3, 1, 9, 30, 0)
+    events = spark.createDataFrame(
+        [
+            # exact tie: click and purchase at the same instant
+            (10, base, 1, "click", 0.0, "{}"),
+            (11, base, 1, "purchase", 1.0, "{}"),
+            # control: ordinary strictly-before match
+            (12, base, 2, "click", 0.0, "{}"),
+            (13, base + dt.timedelta(seconds=5), 2, "purchase", 1.0, "{}"),
+            # control: click strictly after -> no match
+            (14, base + dt.timedelta(seconds=5), 3, "click", 0.0, "{}"),
+            (15, base, 3, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r["user_id"]: r["matched_ts"]
+        for r in A.batch_asof_reference(events).collect()
+    }
+    ts_s = base.strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert got[1] == ts_s, "exact-timestamp right must match the left"
+    assert got[2] == ts_s
+    assert got[3] is None
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("ts").alias("payload_ts")
+    )
+    j = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts")
+    want = {
+        r["user_id"]: (
+            r["payload_ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
+            if r["payload_ts"]
+            else None
+        )
+        for r in j.collect()
+    }
+    assert got == want
+
+
 def test_stream_asof_state_spans_batches(spark, tmp_path_factory):
     """Rights seen in wave 1 persist in keyed state and match lefts
     arriving in wave 2 — the property a per-batch join cannot give."""
