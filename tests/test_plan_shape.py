@@ -306,6 +306,19 @@ def test_corpus_build_single_scan(spark):
     )
 
 
+def test_weekly_psi_drift_single_scan(spark):
+    """weekly_psi_drift scans orders exactly ONCE (VERDICT r4 item 4 —
+    the old shape fed five subtrees from the same projection = five
+    scans): the (wk, v) projection materializes via localCheckpoint at
+    build time, so the FINAL plan must contain NO parquet scan at all —
+    every consumer reads the checkpointed blocks."""
+    import re
+
+    plan = plan_of(spark, "weekly_psi_drift")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 0, f"expected 0 parquet scans in final plan, found {n_scans}\n{plan}"
+
+
 def test_no_cartesian_product_in_any_registered_query(spark):
     """Blanket guard over the ENTIRE registry: no query may plan a
     CartesianProduct, ever — the per-family guards above catch specific
