@@ -69,6 +69,8 @@ HEADLINE = [
     "chunk_exact_dedup",
     "weekly_psi_drift",
     "customer_value_ewma",
+    # round-5 additions
+    "prediction_metrics",
 ]
 
 

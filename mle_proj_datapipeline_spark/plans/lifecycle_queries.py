@@ -307,3 +307,140 @@ def metrics_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot(v1, root, mode="overwrite")
     write_snapshot(panel, root, mode="overwrite")
     return read_snapshot(spark, root, version=1)
+
+
+# --------------------------------------------------------------------------
+# J9 closure: eval metrics COMPUTED from a raw predictions relation
+# --------------------------------------------------------------------------
+def _h_sql(e: str) -> str:
+    return f"(('0x'||substr(md5({e}),1,15))::BIGINT % {P31})"
+
+
+_G_LIST = "[" + ", ".join(f"'{g}'" for g in GRADES) + "]"
+_H_TRUE = _h_sql("'true|' || CAST(o_orderkey AS VARCHAR)")
+_H_FLIP = _h_sql("'flip|' || CAST(o_orderkey AS VARCHAR)")
+_H_PRED = _h_sql("'pred|' || CAST(o_orderkey AS VARCHAR)")
+_YT = f"({_G_LIST})[({_H_TRUE} % 7) + 1]"
+_YP = (
+    f"CASE WHEN {_H_FLIP} % 10 < 7 THEN {_YT} "
+    f"ELSE ({_G_LIST})[({_H_PRED} % 7) + 1] END"
+)
+
+
+@register(
+    "prediction_metrics",
+    oracle=f"""
+    WITH p AS (
+        SELECT {_YT} AS y_true, {_YP} AS y_pred FROM orders),
+    cm AS (SELECT y_true, y_pred, count(*) AS n FROM p GROUP BY 1, 2),
+    cls AS (
+        SELECT grade,
+               CAST(sum(n_true) AS BIGINT) AS n_true,
+               CAST(sum(n_pred) AS BIGINT) AS n_pred,
+               CAST(sum(tp) AS BIGINT) AS tp
+        FROM (
+            SELECT y_true AS grade, n AS n_true, 0 AS n_pred,
+                   CASE WHEN y_true = y_pred THEN n ELSE 0 END AS tp
+            FROM cm
+            UNION ALL
+            SELECT y_pred, 0, n, 0 FROM cm)
+        GROUP BY grade),
+    f AS (
+        SELECT grade, n_true, n_pred, tp,
+               round(CASE WHEN n_pred = 0 THEN 0.0
+                          ELSE CAST(tp AS DOUBLE) / n_pred END, 4) AS prec,
+               round(CASE WHEN n_true = 0 THEN 0.0
+                          ELSE CAST(tp AS DOUBLE) / n_true END, 4) AS rec,
+               round(CASE WHEN n_true + n_pred = 0 THEN 0.0
+                          ELSE 2.0 * tp / (n_true + n_pred) END, 4) AS f1
+        FROM cls)
+    SELECT grade, n_true, n_pred, tp, prec, rec, f1,
+           round(CAST(sum(tp) OVER () AS DOUBLE) / sum(n_true) OVER (), 4) AS accuracy,
+           round(avg(f1) OVER (), 4) AS macro_f1,
+           round(sum(f1 * n_true) OVER () / sum(n_true) OVER (), 4) AS weighted_f1
+    FROM f
+    """,
+)
+def prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification eval metrics COMPUTED from a raw (y_true, y_pred)
+    predictions relation — accuracy, macro-F1, weighted-F1, and
+    per-grade precision/recall/F1 as one confusion-matrix groupBy query
+    (reference utils/model_inference_utils.py:71-94 /
+    utils/weekly_evaluation.py:238-285 compute exactly these via
+    sklearn's accuracy_score/f1_score on a collected frame; this owns
+    the computation natively, so scoring 10^9 predictions never leaves
+    the cluster). Predictions are derived deterministically from orders
+    (hash-assigned true grade; prediction agrees ~70% of the time), so
+    both engines build the identical relation.
+
+    Per-class identities used (exact, no intermediate divisions):
+    precision = tp/n_pred, recall = tp/n_true,
+    F1 = 2*tp/(n_true + n_pred); macro/weighted folds run over the
+    ROUNDED per-grade F1 in both engines so float parity holds.
+
+    Scale: ONE scan of orders -> map-side-combinable groupBy on
+    (y_true, y_pred) -> |grades|^2 rows; the per-class split explodes
+    each cm row into its true-side and pred-side contribution (one pass,
+    no self-join), and the overall metrics attach via windows over the
+    7-row class frame."""
+    o = load_table(spark, sf_dir, "orders")
+    garr = F.array(*[F.lit(g) for g in GRADES])
+    okey = F.col("o_orderkey").cast("string")
+    yt = F.element_at(garr, (h31(F.concat(F.lit("true|"), okey)) % 7 + 1).cast("int"))
+    keep = h31(F.concat(F.lit("flip|"), okey)) % 10 < 7
+    yp_alt = F.element_at(garr, (h31(F.concat(F.lit("pred|"), okey)) % 7 + 1).cast("int"))
+    preds = o.select(
+        yt.alias("y_true"), F.when(keep, yt).otherwise(yp_alt).alias("y_pred")
+    )
+    cm = preds.groupBy("y_true", "y_pred").agg(F.count(F.lit(1)).alias("n"))
+    contrib = cm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("y_true").alias("grade"),
+                    F.col("n").alias("n_true"),
+                    F.lit(0).cast("long").alias("n_pred"),
+                    F.when(F.col("y_true") == F.col("y_pred"), F.col("n"))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("tp"),
+                ),
+                F.struct(
+                    F.col("y_pred").alias("grade"),
+                    F.lit(0).cast("long").alias("n_true"),
+                    F.col("n").alias("n_pred"),
+                    F.lit(0).cast("long").alias("tp"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    cls = contrib.groupBy("grade").agg(
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("tp").alias("tp"),
+    )
+    div = lambda num, den: F.round(  # noqa: E731
+        F.when(den == 0, F.lit(0.0)).otherwise(num.cast("double") / den), 4
+    )
+    f = cls.select(
+        "grade",
+        "n_true",
+        "n_pred",
+        "tp",
+        div(F.col("tp"), F.col("n_pred")).alias("prec"),
+        div(F.col("tp"), F.col("n_true")).alias("rec"),
+        div(F.lit(2.0) * F.col("tp"), F.col("n_true") + F.col("n_pred")).alias("f1"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # 7-row class frame — not a data-sized window
+    return f.select(
+        "*",
+        F.round(F.sum("tp").over(w).cast("double") / F.sum("n_true").over(w), 4).alias(
+            "accuracy"
+        ),
+        F.round(F.avg("f1").over(w), 4).alias("macro_f1"),
+        F.round(
+            F.sum(F.col("f1") * F.col("n_true")).over(w) / F.sum("n_true").over(w), 4
+        ).alias("weighted_f1"),
+    )
