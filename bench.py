@@ -71,6 +71,7 @@ HEADLINE = [
     "customer_value_ewma",
     # round-5 additions
     "prediction_metrics",
+    "ann_lsh_indexed_top1",
 ]
 
 

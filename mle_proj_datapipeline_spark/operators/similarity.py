@@ -497,6 +497,13 @@ def lsh_topk(
         snapshot_root,
     )
 
+    return _lsh_rerank(base, bands, k)
+
+
+def _lsh_rerank(base: DataFrame, bands: int, k: int) -> DataFrame:
+    """Candidate generation + exact rerank over a banded signature table
+    (vid, v, bk0..bk{bands-1}) — shared by the in-query path (lsh_topk)
+    and the persisted-index serve path (lsh_index_topk)."""
     sig = base.select(
         "vid",
         F.explode(
@@ -529,6 +536,65 @@ def lsh_topk(
     if k == 1:
         return out.select("query_id", "neighbor_id", "cosine")
     return out.select("query_id", "neighbor_id", "cosine", "rk")
+
+
+def lsh_index_build(
+    df: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = BANDS,
+    planes_per_band: int | None = PLANES_PER_BAND,
+) -> int:
+    """Build and PERSIST the multi-band LSH index: the banded signature
+    table (vid, v, per-band bucket keys) committed as a snapshot, with
+    the geometry recorded in manifest meta so a reader (or a rebuild
+    check) can detect a stale index after a geometry change. The
+    signature computation — the map-side cost lsh_topk pays on every
+    call — is paid once here; serving only runs candidate join +
+    rerank. Returns the committed version."""
+    from mle_proj_datapipeline_spark.sources.snapshots import write_snapshot
+
+    one = df.select(id_col, vec_col)
+    if planes_per_band is None:
+        planes_per_band = planes_per_band_for(one.count())
+    all_planes = hyperplanes(bands * planes_per_band)
+    band_cols = [
+        plane_bucket(
+            F.col(vec_col), all_planes[b * planes_per_band : (b + 1) * planes_per_band]
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    base = ensure_parallelism(one).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
+    )
+    return write_snapshot(
+        base,
+        f"{root}/signatures",
+        meta={"bands": bands, "planes_per_band": planes_per_band},
+    )
+
+
+def lsh_index_geometry(spark, root: str) -> dict | None:
+    """Geometry meta of the committed LSH index, or None if absent."""
+    from mle_proj_datapipeline_spark.sources.snapshots import history
+
+    snaps = history(spark, f"{root}/signatures")
+    return snaps[-1].get("meta") if snaps else None
+
+
+def lsh_index_topk(spark, root: str, k: int = 1) -> DataFrame:
+    """Serve LSH ANN top-k from the PERSISTED signature index
+    (lsh_index_build): zero signature work — candidates and rerank run
+    straight off the committed banded table, identical results to
+    lsh_topk over the same corpus/geometry (same oracle)."""
+    from mle_proj_datapipeline_spark.sources.snapshots import read_snapshot
+
+    meta = lsh_index_geometry(spark, root)
+    if meta is None:
+        raise FileNotFoundError(f"no LSH index committed under {root}")
+    base = read_snapshot(spark, f"{root}/signatures")
+    return _lsh_rerank(base, int(meta["bands"]), k)
 
 
 def lsh_top1(

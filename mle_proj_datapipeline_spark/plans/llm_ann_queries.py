@@ -51,10 +51,7 @@ def _lsh_band_planes() -> list[list[list[float]]]:
 
 _BAND_BUCKETS = [_bucket_sql(p) for p in _lsh_band_planes()]
 
-
-@register(
-    "ann_lsh_top1",
-    oracle=f"""
+_LSH_TOP1_ORACLE = f"""
     WITH v AS (SELECT vec_id,
                       {_BAND_BUCKETS[0]} AS bk0,
                       {_BAND_BUCKETS[1]} AS bk1
@@ -73,8 +70,10 @@ _BAND_BUCKETS = [_bucket_sql(p) for p in _lsh_band_planes()]
                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
         FROM scored)
     SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk = 1
-    """,
-)
+    """
+
+
+@register("ann_lsh_top1", oracle=_LSH_TOP1_ORACLE)
 def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via MULTI-BAND hyperplane LSH: 2 independent
     8-plane sign-bit bucket keys per vector, candidates = union of
@@ -399,3 +398,29 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_at_3"),
     )
 
+
+
+@register("ann_lsh_indexed_top1", oracle=_LSH_TOP1_ORACLE)
+def ann_lsh_indexed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-1 served from the PERSISTED signature index
+    (sim.lsh_index_build / lsh_index_topk) — same oracle as
+    ann_lsh_top1, because serving from the committed banded table must
+    reproduce the in-query path exactly. The index builds once per
+    corpus (rebuilt only if absent or the committed geometry meta no
+    longer matches the code's), so the steady-state cost is candidate
+    join + rerank only — the production serve pattern that buys back
+    the 2-band recall fix's per-call signature cost (VERDICT r4 item
+    5). Keep ann_lsh_top1 registered as the build-path measurement."""
+    import os
+
+    from mle_proj_datapipeline_spark.sources.metrics import warehouse_root
+    from mle_proj_datapipeline_spark.sources.snapshots import expire
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    root = os.path.join(warehouse_root(), f"lsh_index_{tag}")
+    want = {"bands": sim.BANDS, "planes_per_band": sim.PLANES_PER_BAND}
+    if sim.lsh_index_geometry(spark, root) != want:
+        sim.lsh_index_build(emb, root)
+        expire(spark, f"{root}/signatures", keep_last=3)
+    return sim.lsh_index_topk(spark, root, k=1)
