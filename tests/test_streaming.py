@@ -353,3 +353,58 @@ def test_stream_asof_state_spans_batches(spark, tmp_path_factory):
     r = rows[0]
     assert r["user_id"] == 7 and r["event_id"] == 2
     assert r["matched_ts"] is not None and r["matched_ts"].startswith("2024-01-01 12:00:00")
+
+
+def test_streaming_psi_equals_batch(spark, tmp_path_factory):
+    """Streaming drift twin (VERDICT r4 item 8): orders arriving in two
+    waves through the incremental foreachBatch PSI monitor must yield
+    EXACTLY the batch weekly_psi_drift trajectory — same pinned baseline
+    breakpoints, same fold — and a replayed pass with no new files must
+    not change the panel (idempotent batch commits)."""
+    from mle_proj_datapipeline_spark.plans.extension_queries import weekly_psi_drift
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming import drift as D
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    bwk, bps = D.baseline_breakpoints(orders)
+
+    land = str(tmp_path_factory.mktemp("psi_land"))
+    counts = str(tmp_path_factory.mktemp("psi_counts"))
+    ck = str(tmp_path_factory.mktemp("psi_ck"))
+
+    # Two arrival waves split mid-history (both after the baseline week).
+    weeks = sorted(
+        r["wk"]
+        for r in orders.select(D.week_of_order().alias("wk")).distinct().collect()
+    )
+    cut = weeks[len(weeks) // 2]
+    wave1 = orders.filter(D.week_of_order() <= cut)
+    wave2 = orders.filter(D.week_of_order() > cut)
+    wave1.write.mode("append").parquet(land)
+    schema = spark.read.parquet(land).schema
+
+    def rows(df):
+        return sorted((r["wk"], r["psi"]) for r in df.collect())
+
+    D.incremental_psi_counts(spark, land, schema, counts, ck, bps)
+    got1 = rows(D.psi_series(spark, counts, bwk))
+    assert got1 and all(wk <= cut for wk, _ in got1)
+
+    wave2.write.mode("append").parquet(land)
+    D.incremental_psi_counts(spark, land, schema, counts, ck, bps)
+    got = rows(D.psi_series(spark, counts, bwk))
+
+    # Batch arm 1: identical fold over batch-computed counts.
+    want_counts = rows(D.psi_from_counts(D.week_bucket_counts(orders, bps), bwk))
+    assert got == want_counts
+
+    # Batch arm 2: the registered query (derives the same baseline
+    # breakpoints internally) — ties the twin to the oracle-gated path.
+    want_query = rows(weekly_psi_drift(spark, sf))
+    assert got == want_query
+
+    # Replay with no new files: checkpoint + idempotent per-batch
+    # partitions leave the panel unchanged.
+    D.incremental_psi_counts(spark, land, schema, counts, ck, bps)
+    assert rows(D.psi_series(spark, counts, bwk)) == got
