@@ -130,3 +130,37 @@ def test_orc_partitioned_roundtrip(spark, tmp_path_factory):
     # partition pruning visible in the plan
     plan = back.filter(F.col("wk") == "w1")._jdf.queryExecution().executedPlan().toString()
     assert "w1" in plan
+
+
+def test_metrics_sink_dispatch(spark, tmp_path, monkeypatch):
+    """write_metrics_any routes a jdbc: URL over the wire and anything
+    else into the snapshot table; $SPARK_GRAFT_METRICS_URL flips the
+    resolved target without touching callers (no Postgres ships in this
+    container, so the JDBC branch is verified at the dispatch seam)."""
+    from mle_proj_datapipeline_spark.sources import metrics as M
+
+    panel = spark.createDataFrame(
+        [("m1", "2024-01-07", 0.91)], "model string, week string, metric double"
+    )
+
+    calls = {}
+    monkeypatch.setattr(
+        M,
+        "write_metrics_jdbc",
+        lambda df, url, table="model_metrics", **kw: calls.update(
+            url=url, table=table, n=df.count()
+        ),
+    )
+    assert M.write_metrics_any(panel, "jdbc:postgresql://db:5432/mlops") == -1
+    assert calls == {"url": "jdbc:postgresql://db:5432/mlops", "table": "model_metrics", "n": 1}
+
+    root = str(tmp_path / "panel_store")
+    v = M.write_metrics_any(panel, root)
+    assert v == 1
+    got = M.read_metrics(spark, root).collect()
+    assert [(r["model"], r["week"], r["metric"]) for r in got] == [("m1", "2024-01-07", 0.91)]
+
+    monkeypatch.setenv("SPARK_GRAFT_METRICS_URL", "jdbc:postgresql://db/x")
+    assert M.resolve_metrics_target(root) == "jdbc:postgresql://db/x"
+    monkeypatch.delenv("SPARK_GRAFT_METRICS_URL")
+    assert M.resolve_metrics_target(root) == root
