@@ -241,3 +241,38 @@ def test_concurrent_writers_never_lose_a_commit(spark, tmp_path_factory):
     last = read_snapshot(spark, root)
     writers = {r["writer"] for r in last.select("writer").distinct().collect()}
     assert len(writers) == 1 and last.count() == 10
+
+
+def test_orphaned_claim_probe_is_age_gated(spark, tmp_path_factory):
+    """A crashed writer's claim (old file, no manifest) must be probed
+    past — but ONLY once it ages beyond CLAIM_STALL_SECONDS. A young
+    claim means a possibly-live writer (GC pause / slow FS): committing
+    a sibling version from a stale parent would fork the lineage, so
+    the committer must fail fast instead (ADVICE r4: the 150ms stall
+    probe misclassified live writers as crashed)."""
+    import os
+    import time
+
+    import pytest
+
+    from mle_proj_datapipeline_spark.sources import snapshots as S
+
+    root = str(tmp_path_factory.mktemp("claims"))
+    assert S.write_snapshot(spark.range(3), root) == 1
+
+    # Simulate a writer that crashed between claim and manifest rename.
+    claim = os.path.join(root, S.SNAP_DIR, ".v00000002.claim")
+    open(claim, "w").close()
+
+    # Young claim: treated as live — the next writer must NOT fork past
+    # it, and errors out after its retry budget.
+    with pytest.raises(RuntimeError, match="writer storm"):
+        S.write_snapshot(spark.range(3), root)
+
+    # Aged claim: demonstrably abandoned — probed past, version skips.
+    old = time.time() - S.CLAIM_STALL_SECONDS - 5
+    os.utime(claim, (old, old))
+    v = S.write_snapshot(spark.range(3), root)
+    assert v == 3  # v2 stays burned by the dead claim
+    assert [s["version"] for s in S.history(spark, root)] == [1, 3]
+    assert S.read_snapshot(spark, root).count() == 3
