@@ -72,6 +72,8 @@ HEADLINE = [
     # round-5 additions
     "prediction_metrics",
     "ann_lsh_indexed_top1",
+    "roc_auc_from_scores",
+    "score_calibration_bins",
 ]
 
 

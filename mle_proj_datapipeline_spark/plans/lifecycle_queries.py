@@ -444,3 +444,129 @@ def prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("f1") * F.col("n_true")).over(w) / F.sum("n_true").over(w), 4
         ).alias("weighted_f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# J9 depth: threshold-free eval — ROC-AUC + calibration from raw scores
+# --------------------------------------------------------------------------
+_H_Y = _h_sql("'y|' || CAST(o_orderkey AS VARCHAR)")
+_H_S = _h_sql("'s|' || CAST(o_orderkey AS VARCHAR)")
+# 20% positives; score = noise on a 0.001 grid + 0.3 lift for positives,
+# so AUC is well above 0.5 and score TIES exist across rows (the
+# midrank/tie handling is load-bearing, not decorative).
+_Y_SQL = f"CASE WHEN {_H_Y} % 5 = 0 THEN 1 ELSE 0 END"
+_SCORE_SQL = f"round(({_H_S} % 700) / 1000.0 + 0.3 * ({_Y_SQL}), 3)"
+
+
+@register(
+    "roc_auc_from_scores",
+    oracle=f"""
+    WITH p AS (SELECT {_Y_SQL} AS y, {_SCORE_SQL} AS score FROM orders),
+    h AS (
+        SELECT score,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        FROM p GROUP BY score),
+    c AS (
+        SELECT score, n_pos, n_neg,
+               COALESCE(sum(n_neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_neg_below
+        FROM h)
+    SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           CAST(sum(n_neg) AS BIGINT) AS n_neg,
+           round(sum(n_pos * (cum_neg_below + 0.5 * n_neg))
+                 / (sum(n_pos) * sum(n_neg)), 4) AS auc,
+           round(2 * sum(n_pos * (cum_neg_below + 0.5 * n_neg))
+                 / (sum(n_pos) * sum(n_neg)) - 1, 4) AS gini
+    FROM c
+    """,
+)
+def roc_auc_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC and Gini computed natively from a raw (y, score)
+    relation — the threshold-free companion of prediction_metrics
+    (the reference's model comparison relies on sklearn-side scoring;
+    this keeps 10^9 scored rows on the cluster).
+
+    Method: histogram AUC. Scores aggregate to a per-score-value
+    (n_pos, n_neg) histogram first; AUC = sum over score values of
+    n_pos * (negatives strictly below + half the tied negatives),
+    normalized by n_pos * n_neg — the Mann-Whitney U identity with
+    EXACT tie midranks. All terms are integers and half-integers, so
+    the fold is float-exact in both engines.
+
+    Scale: one scan -> map-side-combinable groupBy on the score value
+    (bounded by the score grid, here 1e-3 -> ≤ ~1000 rows); the
+    cumulative window runs over the tiny histogram, never the data. A
+    global sort of raw rows (the textbook rank-sum formulation) is
+    exactly what this shape avoids."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    y = F.when(h31(F.concat(F.lit("y|"), okey)) % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+    score = F.round(
+        (h31(F.concat(F.lit("s|"), okey)) % 700) / F.lit(1000.0)
+        + F.lit(0.3) * y,
+        3,
+    )
+    p = o.select(y.alias("y"), score.alias("score"))
+    h = p.groupBy("score").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    # The histogram is score-grid-sized (tiny) — a single ordered window
+    # over it is deliberate, not a data-sized global sort.
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.withColumn("cum_neg_below", F.coalesce(F.sum("n_neg").over(wc), F.lit(0)))
+    num = F.sum(F.col("n_pos") * (F.col("cum_neg_below") + 0.5 * F.col("n_neg")))
+    den = F.sum("n_pos") * F.sum("n_neg")
+    return c.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.round(num / den, 4).alias("auc"),
+        F.round(F.lit(2) * num / den - 1, 4).alias("gini"),
+    )
+
+
+@register(
+    "score_calibration_bins",
+    oracle=f"""
+    WITH p AS (SELECT {_Y_SQL} AS y, {_SCORE_SQL} AS score FROM orders),
+    b AS (
+        SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, y, score
+        FROM p)
+    SELECT bin,
+           count(*) AS n,
+           round(avg(score), 4) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS pos_rate,
+           round(avg(score) - CAST(sum(y) AS DOUBLE) / count(*), 4) AS gap
+    FROM b GROUP BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) bins from raw scores: decile
+    bins of the score, mean predicted score vs observed positive rate
+    and their gap — the monitoring panel that tells you a model's
+    probabilities drifted even when AUC holds. One scan, one
+    partial-agg groupBy on a 10-value key."""
+    o = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    y = F.when(h31(F.concat(F.lit("y|"), okey)) % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+    score = F.round(
+        (h31(F.concat(F.lit("s|"), okey)) % 700) / F.lit(1000.0)
+        + F.lit(0.3) * y,
+        3,
+    )
+    b = o.select(
+        F.least(F.floor(score * 10), F.lit(9)).cast("long").alias("bin"),
+        y.alias("y"),
+        score.alias("score"),
+    )
+    pos_rate = F.sum("y").cast("double") / F.count(F.lit(1))
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+        F.round(pos_rate, 4).alias("pos_rate"),
+        F.round(F.avg("score") - pos_rate, 4).alias("gap"),
+    )
