@@ -545,6 +545,7 @@ def lsh_index_build(
     vec_col: str = "embedding",
     bands: int = BANDS,
     planes_per_band: int | None = PLANES_PER_BAND,
+    meta_extra: dict | None = None,
 ) -> int:
     """Build and PERSIST the multi-band LSH index: the banded signature
     table (vid, v, per-band bucket keys) committed as a snapshot, with
@@ -571,7 +572,7 @@ def lsh_index_build(
     return write_snapshot(
         base,
         f"{root}/signatures",
-        meta={"bands": bands, "planes_per_band": planes_per_band},
+        meta={"bands": bands, "planes_per_band": planes_per_band, **(meta_extra or {})},
     )
 
 
@@ -644,12 +645,15 @@ def ivf_index_build(
     return vcb
 
 
-def _pinned_codebook(spark, root: str) -> tuple[list[list[float]], list[int]]:
+def _pinned_codebook(
+    spark, root: str
+) -> tuple[list[list[float]], list[int], int | None]:
     """Load the codebook version the LATEST assignment commit was built
     with (``codebook_version`` in the assignment manifest's meta) —
     never the bare latest codebook, which may belong to an in-flight
     rebuild that has committed its codebook but not yet its assignment.
-    Returns (book, cells) with book rows ordered like ``cells``."""
+    Returns (book, cells, pinned_version) with book rows ordered like
+    ``cells`` — one history read serves both the book and the pin."""
     from mle_proj_datapipeline_spark.sources.snapshots import history, read_snapshot
 
     snaps = history(spark, f"{root}/assignment")
@@ -661,7 +665,7 @@ def _pinned_codebook(spark, root: str) -> tuple[list[list[float]], list[int]]:
     book: list[list[float]] = [[0.0] * dim for _ in cells]
     for r in book_rows:
         book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
-    return book, cells
+    return book, cells, pinned
 
 
 def ivf_index_topk(
@@ -684,7 +688,7 @@ def ivf_index_topk(
     (_pinned_codebook), so a racing rebuild can't mismatch the pair."""
     from mle_proj_datapipeline_spark.sources.snapshots import read_snapshot
 
-    book, cells = _pinned_codebook(spark, root)
+    book, cells, _ = _pinned_codebook(spark, root)
     cell_ids = F.array(*[F.lit(c) for c in cells])
 
     c = read_snapshot(spark, f"{root}/assignment").select(
@@ -735,11 +739,9 @@ def ivf_index_append(
     commit (not the bare latest — a rebuild's freshly committed codebook
     must not leak into an append against the old assignment), and the
     append re-records the same pin so the pair stays consistent."""
-    from mle_proj_datapipeline_spark.sources.snapshots import history, write_snapshot
+    from mle_proj_datapipeline_spark.sources.snapshots import write_snapshot
 
-    snaps = history(spark, f"{root}/assignment")
-    pinned = snaps[-1].get("meta", {}).get("codebook_version") if snaps else None
-    book, cells = _pinned_codebook(spark, root)
+    book, cells, pinned = _pinned_codebook(spark, root)
     cell_ids = F.array(*[F.lit(c) for c in cells])
 
     batch = new_vecs.select(

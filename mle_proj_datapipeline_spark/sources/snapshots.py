@@ -24,11 +24,16 @@ designs of both inform the layout):
   and retries on the next version — no silent manifest clobber (the
   pre-CAS hazard: local-FS rename overwrites an existing destination).
   Orphaned claims from crashed writers are probed past only once the
-  claim file ages beyond CLAIM_STALL_SECONDS (a live-but-slow holder is
-  waited on, not forked past), a pre-rename parent re-check stops a
-  probed-past writer from committing a stale-parent lineage fork, and
-  `expire` sweeps stale claims. Residual caveat vs a real table format:
-  version numbers can skip after a writer crash.
+  claim file ages beyond CLAIM_STALL_SECONDS (a young orphan makes
+  write_snapshot fail fast after ~8s of retries — callers re-run the
+  job — never fork past a possibly-live holder). Two fences close the
+  probed-past race: a pre-rename parent re-check, and a post-commit
+  fork check that detects a sibling lineage (a commit the history
+  skipped, or one that skipped us), deletes its OWN manifest, and
+  retries on fresh history. Residual caveat vs a real table format:
+  version numbers can skip after a writer crash, and during a fork
+  repair a just-committed version may be briefly visible before its
+  writer retracts it.
 - OVERWRITE lists only new files; APPEND lists parent files + new.
   MERGE (upsert) and COMPACT (small-file bin-packing) are rewrites
   committed as new versions, so both are time-travel-safe.
@@ -54,11 +59,18 @@ from pyspark.sql import DataFrame, SparkSession
 SNAP_DIR = "_snapshots"
 
 # A commit claim younger than this is treated as a possibly-live writer
-# (GC pause, slow FS) and waited on; only older claims are probed past
-# as crashed. Deliberately much longer than any plausible pause — the
-# cost of waiting is a failed commit that retries, the cost of probing
-# early is a forked lineage.
+# (GC pause, slow FS) and never probed past; only older claims are
+# declared crashed. Deliberately much longer than any plausible pause —
+# the cost is that write_snapshot raises after its in-process retry
+# budget (~8s) while a young orphan blocks, and the JOB retries later;
+# the cost of probing early is a forked lineage. The post-commit fork
+# check (_fork_conflict) is the second fence for the residual race.
 CLAIM_STALL_SECONDS = 300.0
+
+# In-process commit retry budget: 40 attempts x 0.2s backoff (~8s plus
+# history reads) rides out normal contention; a blocking young orphan
+# fails fast past this and the JOB retries.
+_COMMIT_ATTEMPTS = 40
 
 
 def _fs(spark: SparkSession, path: str):
@@ -106,6 +118,31 @@ def _create_exclusive(spark: SparkSession, path: str) -> bool:
         if "Exists" in type(ex).__name__ or "exists" in str(ex).lower():
             return False
         raise
+
+
+def _fork_conflict(snaps: list[dict], version: int, parent: int | None) -> bool:
+    """After committing ``version`` (built on ``parent``), decide from
+    the re-read history whether the commit forked the lineage:
+
+    - a committed manifest sits BETWEEN our parent and our version →
+      we probed past a claim whose writer actually completed — our
+      manifest's file list (append mode) omits its files;
+    - a LATER manifest's parent is below our version → that writer
+      committed without seeing us — its lineage omits OUR files.
+
+    Either way the committer must retract its own manifest and retry on
+    fresh history (write_snapshot does). Pure function for testability."""
+    pv = parent if parent is not None else 0
+    for s in snaps:
+        v = s["version"]
+        if v == version:
+            continue
+        if pv < v < version:
+            return True
+        sp = s.get("parent") or 0
+        if v > version and sp < version:
+            return True
+    return False
 
 
 def _claim_age(spark: SparkSession, path: str) -> float:
@@ -234,7 +271,7 @@ def write_snapshot(
     # may skip after a crash — manifests are ordered by version, readers
     # are indifferent.
     fs, _ = _fs(spark, root)
-    for _attempt in range(25):
+    for _attempt in range(_COMMIT_ATTEMPTS):
         snaps = history(spark, root)
         parent = snaps[-1] if snaps else None
         latest = parent["version"] if parent else 0
@@ -266,7 +303,7 @@ def write_snapshot(
             # claim taken — another writer owns this version; back off
             import time as _time
 
-            _time.sleep(0.05)
+            _time.sleep(0.2)
             continue
         manifest = {
             "version": version,
@@ -290,11 +327,25 @@ def write_snapshot(
         _write_text(spark, tmp, json.dumps(manifest))
         if not fs.rename(_jpath(spark, tmp), _jpath(spark, final)):
             raise RuntimeError(f"commit rename failed for version {version}")
+        # Post-commit fork check: the pre-rename fence is itself
+        # check-then-act, so a >CLAIM_STALL-stalled writer waking inside
+        # another committer's fence→rename window can still produce
+        # sibling lineages. Both siblings re-read history AFTER their
+        # rename; whichever observes the conflict (at least the later
+        # renamer must) retracts its OWN manifest and retries on fresh
+        # history — appends are never silently dropped.
+        if _fork_conflict(history(spark, root), version, parent["version"] if parent else None):
+            fs.delete(_jpath(spark, final), False)
+            continue
         # The claim file INTENTIONALLY outlives the commit: deleting it
         # here would let a retrying loser re-claim this version and die
         # on the rename. `expire` sweeps claims <= the latest commit.
         return version
-    raise RuntimeError(f"could not commit to {root} after 25 attempts (writer storm?)")
+    raise RuntimeError(
+        f"could not commit to {root} after {_COMMIT_ATTEMPTS} attempts "
+        "(writer storm, or a young orphaned claim — re-run the job; claims "
+        f"older than {CLAIM_STALL_SECONDS:.0f}s are declared dead)"
+    )
 
 
 def read_snapshot(

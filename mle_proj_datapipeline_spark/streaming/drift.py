@@ -42,7 +42,11 @@ def baseline_breakpoints(
     week — computed once at deployment time, the way the reference fixes
     its expected distribution at training time. Returns driver-held
     scalars (1 row, 9 doubles) that every subsequent micro-batch
-    broadcasts."""
+    broadcasts.
+
+    Setup cost: two passes over the HISTORICAL frame, but both are
+    column-pruned by Catalyst — the min-week aggregate reads only the
+    date column, the percentile reads (date, value) for one week."""
     wko = orders.select(
         week_of_order(ts_col).alias("wk"), F.col(val_col).alias("v")
     )
@@ -54,6 +58,32 @@ def baseline_breakpoints(
         .first()
     )
     return bwk, [float(x) for x in bps_row["bps"]]
+
+
+def baseline_expected_fracs(
+    orders: DataFrame,
+    baseline_week: str,
+    breakpoints: list[float],
+    ts_col: str = "o_orderdate",
+    val_col: str = "o_totalprice",
+) -> list[float]:
+    """Pin the baseline week's per-bucket fractions (10 clamped doubles,
+    driver-held) at deployment time. REQUIRED for the realistic deploy
+    where training data is NOT re-streamed through the monitor: without
+    pinned expected fractions, psi_from_counts can only derive them from
+    the counts panel, which works iff the baseline week's rows flowed
+    through the stream."""
+    counts = week_bucket_counts(
+        orders.filter(week_of_order(ts_col) == baseline_week),
+        breakpoints,
+        ts_col,
+        val_col,
+    ).collect()
+    total = sum(r["n"] for r in counts)
+    by_bucket = {r["bucket"]: r["n"] for r in counts}
+    return [
+        max(by_bucket.get(b, 0) / total, PSI_EPS) for b in range(len(PSI_QS) + 1)
+    ]
 
 
 def week_bucket_counts(
@@ -102,7 +132,11 @@ def incremental_psi_counts(
 ) -> None:
     """One AvailableNow maintenance pass: new order files → their
     (week, bucket) partial counts merged into the counts panel, exactly
-    once per file (checkpointed source + idempotent batch commits)."""
+    once per file (checkpointed source + idempotent batch commits).
+    Raises on timeout instead of returning a silently-partial panel —
+    the unfinished query is stopped so it can't race a subsequent
+    psi_series read (its processed batches are checkpointed; the next
+    pass resumes exactly where it stopped)."""
     q = (
         file_stream(spark, source_dir, schema)
         .writeStream.foreachBatch(
@@ -112,27 +146,50 @@ def incremental_psi_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"PSI maintenance pass over {source_dir} exceeded {timeout_s}s; "
+            "stopped — completed batches are checkpointed, re-run to resume"
+        )
 
 
-def psi_series(spark: SparkSession, counts_dir: str, baseline_week: str) -> DataFrame:
+def psi_series(
+    spark: SparkSession,
+    counts_dir: str,
+    baseline_week: str,
+    expected_fracs: list[float] | None = None,
+) -> DataFrame:
     """The PSI trajectory from the maintained counts panel: merge the
     per-batch partials (sum over batch_id), then fold — weeks × 10 rows
-    regardless of history size."""
+    regardless of history size. Pass ``expected_fracs``
+    (baseline_expected_fracs) when the baseline week's rows do NOT flow
+    through the stream — the realistic deploy, where training data is
+    historical and only new data lands in the monitor."""
     cnt = (
         spark.read.parquet(counts_dir)
         .groupBy("wk", "bucket")
         .agg(F.sum("n").alias("n"))
     )
-    return psi_from_counts(cnt, baseline_week)
+    return psi_from_counts(cnt, baseline_week, expected_fracs)
 
 
-def psi_from_counts(cnt: DataFrame, baseline_week: str) -> DataFrame:
+def psi_from_counts(
+    cnt: DataFrame,
+    baseline_week: str,
+    expected_fracs: list[float] | None = None,
+) -> DataFrame:
     """PSI fold over a merged (wk, bucket, n) frame: fill the
     (week × bucket) spine, clamp empty buckets, score each week against
-    the baseline week's fractions — the same fold as the batch
+    the baseline fractions — the same fold as the batch
     weekly_psi_drift query, shared by the streaming panel and the
-    batch arm of the parity test."""
+    batch arm of the parity test.
+
+    Baseline fractions come from ``expected_fracs`` (pinned,
+    driver-held) when given; otherwise they are derived from the panel's
+    own baseline-week rows — which REQUIRES those rows to be present
+    (enforced: a missing baseline raises instead of returning null PSI
+    for every week)."""
     from pyspark.sql import Window
 
     tot = cnt.groupBy("wk").agg(F.sum("n").alias("t"))
@@ -147,12 +204,24 @@ def psi_from_counts(cnt: DataFrame, baseline_week: str) -> DataFrame:
             F.lit(PSI_EPS),
         ).alias("f"),
     )
-    wb = Window.partitionBy("bucket")
-    return (
-        frac.withColumn(
+    if expected_fracs is not None:
+        ef_arr = F.array(*[F.lit(float(x)) for x in expected_fracs])
+        scored = frac.withColumn(
+            "ef", F.element_at(ef_arr, F.col("bucket").cast("int") + 1)
+        )
+    else:
+        if cnt.filter(F.col("wk") == baseline_week).limit(1).count() == 0:
+            raise ValueError(
+                f"baseline week {baseline_week} has no rows in the counts "
+                "panel; pass expected_fracs (baseline_expected_fracs) when "
+                "the baseline is not streamed through the monitor"
+            )
+        wb = Window.partitionBy("bucket")
+        scored = frac.withColumn(
             "ef", F.max(F.when(F.col("wk") == baseline_week, F.col("f"))).over(wb)
         )
-        .filter(F.col("wk") != baseline_week)
+    return (
+        scored.filter(F.col("wk") != baseline_week)
         .groupBy("wk")
         .agg(
             F.round(

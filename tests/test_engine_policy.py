@@ -40,6 +40,7 @@ COLLECT_ALLOWED = {
     "streaming/gold.py",  # partition-value listings
     "sources/snapshots.py",  # z-order min/max bounds (1 row)
     "plans/lifecycle_queries.py",  # none today
+    "streaming/drift.py",  # pinned baseline fractions (10 rows, deploy-time)
 }
 
 

@@ -266,3 +266,57 @@ def test_ivf_index_append_frozen_codebook(spark, tmp_path_factory):
     assert got == want
     # serving still works over the merged index
     assert sim.ivf_index_topk(spark, emb.filter(F.col("vec_id") < 10), root, k=2).count() > 0
+
+
+def test_lsh_indexed_rebuilds_on_source_change(spark, tmp_path_factory, monkeypatch):
+    """The persisted LSH index must be keyed on the SOURCE FILES, not
+    geometry alone: the warehouse outlives testdata regeneration between
+    rounds, so an index that only checks (bands, planes_per_band) would
+    silently serve neighbors for the OLD corpus. Overwriting the source
+    table must force a rebuild; an unchanged source must serve the
+    committed index (same snapshot version)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators import similarity as sim
+    from mle_proj_datapipeline_spark.plans.llm_ann_queries import ann_lsh_indexed_top1
+    from mle_proj_datapipeline_spark.sources.snapshots import history
+
+    wh = str(tmp_path_factory.mktemp("wh"))
+    sf_dir = str(tmp_path_factory.mktemp("sf_custom"))
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", wh)
+
+    rng = random.Random(7)
+
+    def corpus(id0: int):
+        rows = [
+            (id0 + i, [rng.uniform(-1, 1) for _ in range(sim.EMB_DIM)], "a")
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+    corpus(0).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    r1 = {r["query_id"] for r in ann_lsh_indexed_top1(spark, sf_dir).collect()}
+    assert r1 and max(r1) < 1000
+    v1 = history(spark, f"{wh}/lsh_index_{sf_dir.rsplit('/', 1)[-1]}/signatures")[-1][
+        "version"
+    ]
+
+    # Unchanged source: serve, don't rebuild (no new snapshot version).
+    ann_lsh_indexed_top1(spark, sf_dir).collect()
+    assert (
+        history(spark, f"{wh}/lsh_index_{sf_dir.rsplit('/', 1)[-1]}/signatures")[-1][
+            "version"
+        ]
+        == v1
+    )
+
+    # Regenerated source (new ids): MUST rebuild and serve the new corpus.
+    corpus(1000).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+    r2 = {r["query_id"] for r in ann_lsh_indexed_top1(spark, sf_dir).collect()}
+    assert r2 and min(r2) >= 1000, "index served the stale corpus after regeneration"

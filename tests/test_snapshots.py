@@ -276,3 +276,25 @@ def test_orphaned_claim_probe_is_age_gated(spark, tmp_path_factory):
     assert v == 3  # v2 stays burned by the dead claim
     assert [s["version"] for s in S.history(spark, root)] == [1, 3]
     assert S.read_snapshot(spark, root).count() == 3
+
+
+def test_fork_conflict_detection():
+    """_fork_conflict pins both sibling-lineage shapes: a live commit
+    BETWEEN our parent and our version (we probed past a writer that
+    actually finished), and a LATER commit whose parent is below us
+    (that writer never saw us). Normal linear histories are clean."""
+    from mle_proj_datapipeline_spark.sources.snapshots import _fork_conflict
+
+    def m(v, p):
+        return {"version": v, "parent": p}
+
+    linear = [m(5, 4), m(6, 5)]
+    assert not _fork_conflict(linear, 6, 5)
+    assert not _fork_conflict([m(1, None)], 1, None)
+
+    # We committed v7 over parent v5 while v6 (parent 5) exists.
+    assert _fork_conflict([m(5, 4), m(6, 5), m(7, 5)], 7, 5)
+    # We committed v6 over v5; v7 (parent 5) skipped us.
+    assert _fork_conflict([m(5, 4), m(6, 5), m(7, 5)], 6, 5)
+    # Version skip after a crash (no sibling manifest) is NOT a fork.
+    assert not _fork_conflict([m(5, 4), m(7, 5)], 7, 5)

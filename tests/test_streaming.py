@@ -408,3 +408,45 @@ def test_streaming_psi_equals_batch(spark, tmp_path_factory):
     # partitions leave the panel unchanged.
     D.incremental_psi_counts(spark, land, schema, counts, ck, bps)
     assert rows(D.psi_series(spark, counts, bwk)) == got
+
+
+def test_streaming_psi_with_pinned_expected_fracs(spark, tmp_path_factory):
+    """The realistic monitor deploy: training (baseline) data is
+    historical and NEVER streamed — only post-baseline files land. With
+    pinned expected fractions the panel must still score every arriving
+    week (and match the full-history fold exactly); without them the
+    fold must refuse loudly rather than emit null PSI for every week."""
+    import pytest
+
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming import drift as D
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    bwk, bps = D.baseline_breakpoints(orders)
+    efs = D.baseline_expected_fracs(orders, bwk, bps)
+
+    land = str(tmp_path_factory.mktemp("psi_land2"))
+    counts = str(tmp_path_factory.mktemp("psi_counts2"))
+    ck = str(tmp_path_factory.mktemp("psi_ck2"))
+
+    # Only post-baseline data is streamed.
+    orders.filter(D.week_of_order() != bwk).write.mode("append").parquet(land)
+    schema = spark.read.parquet(land).schema
+    D.incremental_psi_counts(spark, land, schema, counts, ck, bps)
+
+    def rows(df):
+        return sorted((r["wk"], r["psi"]) for r in df.collect())
+
+    got = rows(D.psi_series(spark, counts, bwk, expected_fracs=efs))
+    assert got and all(psi is not None for _, psi in got)
+
+    # Same trajectory as the full-history fold (baseline fractions are
+    # identical whether pinned or derived from streamed baseline rows).
+    want = rows(D.psi_from_counts(D.week_bucket_counts(orders, bps), bwk))
+    assert got == want
+
+    # Without pinned fractions and without streamed baseline rows the
+    # fold must raise, not silently null out.
+    with pytest.raises(ValueError, match="baseline week"):
+        D.psi_series(spark, counts, bwk).collect()
