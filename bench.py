@@ -26,6 +26,7 @@ import mle_proj_datapipeline_spark.plans.feature_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.lifecycle_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.tpch_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.quality_queries  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import QUERIES
 from mle_proj_datapipeline_spark.session import get_spark
 
@@ -74,6 +75,12 @@ HEADLINE = [
     "ann_lsh_indexed_top1",
     "roc_auc_from_scores",
     "score_calibration_bins",
+    "table_quality_report",
+    "scd2_priority_history",
+    "variant_event_props",
+    "ks_drift_totalprice",
+    "key_skew_profile",
+    "stratified_group_sample",
 ]
 
 
