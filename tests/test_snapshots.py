@@ -142,6 +142,60 @@ def test_maintain_rollup_incremental(spark, root):
     )
 
 
+def test_snapshot_changes_append_fast_path(spark, root):
+    """CDF over an append-only chain: inserts == appended rows, and the
+    reader scans ONLY the delta files (file-level proof via inputFiles),
+    never the base version's data."""
+    from mle_proj_datapipeline_spark.sources.snapshots import snapshot_changes
+
+    write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root, timestamp=100.0)
+    write_snapshot(_df(spark, [(3, "c")]), root, mode="append", timestamp=200.0)
+    write_snapshot(_df(spark, [(4, "d")]), root, mode="append", timestamp=300.0)
+
+    chg = snapshot_changes(spark, root, from_version=1, to_version=3)
+    assert _rows(chg) == _rows(
+        spark.createDataFrame(
+            [(3, "c", "insert"), (4, "d", "insert")],
+            "k long, v string, _change_type string",
+        )
+    )
+    v1_files = set(history(spark, root)[0]["files"])
+    assert not (set(chg.inputFiles()) & v1_files), "fast path read base files"
+
+    # same-version window and empty delta both yield an empty insert set
+    assert snapshot_changes(spark, root, 2, 2).count() == 0
+
+
+def test_snapshot_changes_general_path(spark, root):
+    """An overwrite in the chain forces the symmetric-difference path:
+    an update shows as delete(old)+insert(new); duplicates keep
+    multiplicity (exceptAll, not except)."""
+    from mle_proj_datapipeline_spark.sources.snapshots import snapshot_changes
+
+    write_snapshot(
+        _df(spark, [(1, "a"), (2, "b"), (2, "b")]), root, timestamp=100.0
+    )
+    write_snapshot(
+        _df(spark, [(1, "a"), (2, "B"), (3, "c")]), root, timestamp=200.0
+    )
+    chg = snapshot_changes(spark, root, from_version=1, to_version=2)
+    assert _rows(chg) == _rows(
+        spark.createDataFrame(
+            [
+                (2, "B", "insert"),
+                (3, "c", "insert"),
+                (2, "b", "delete"),
+                (2, "b", "delete"),
+            ],
+            "k long, v string, _change_type string",
+        )
+    )
+    with pytest.raises(ValueError):
+        snapshot_changes(spark, root, 2, 1)
+    with pytest.raises(ValueError):
+        snapshot_changes(spark, root, 9)
+
+
 def test_zorder_value_interleaves_bits(spark):
     from mle_proj_datapipeline_spark.sources.snapshots import zorder_value
 
