@@ -334,3 +334,41 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in plan")
     assert not failures, "\n".join(failures)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime bloom-filter join pruning (Spark's runtime filter
+    optimizer) must inject a might_contain filter on the big (probe)
+    side when the build side carries a selective filter and the probe
+    side is a shuffle join. Locally the 10 GiB application-side gate
+    suppresses it — the whole point is 100 TB behavior — so the test
+    lowers the gate to 0 and pins the optimizer contract; at cluster
+    scale the default gate passes and the same plan appears untouched."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_extendedprice"))
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
