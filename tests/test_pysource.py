@@ -1,0 +1,67 @@
+"""Custom Python data source (sources/pysource.py): partition-parallel
+reads, cross-partitioning determinism, filter pushdown semantics, and
+vanilla-session compatibility (no-pushdown default)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mle_proj_datapipeline_spark.sources.pysource import (
+    LANGS,
+    register_synthdocs,
+)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("synthdocs")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_partition_parallel_and_deterministic(spark):
+    """The scan schedules one task per id slice, and the SAME rows come
+    back under any partition count (pure function of doc_id — retries
+    and speculation are safe)."""
+    register_synthdocs(spark)
+    a = _read(spark, n_docs=400, numPartitions=4)
+    assert a.rdd.getNumPartitions() == 4
+    assert a.count() == 400
+    b = _read(spark, n_docs=400, numPartitions=13)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every generated lang is from the declared alphabet
+    langs = {r["lang"] for r in a.select("lang").distinct().collect()}
+    assert langs <= set(LANGS)
+
+
+def test_filter_pushdown_preserves_semantics(spark):
+    """Pushdown variant: lang-equality prunes AT THE SOURCE and returns
+    exactly what the unpushed plan returns; non-pushable predicates stay
+    with Spark and still apply."""
+    register_synthdocs(spark)
+    plain = _read(spark, n_docs=600).filter(F.col("lang") == "de")
+    pushed = _read(spark, n_docs=600, filterPushdown="true").filter(
+        F.col("lang") == "de"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, pushed.collect())
+    )
+    # residual (unsupported) predicate on top of the pushed one
+    both = _read(spark, n_docs=600, filterPushdown="true").filter(
+        (F.col("lang") == "de") & (F.col("n_chars") > 100)
+    )
+    want = [t for t in map(tuple, plain.collect()) if t[4] > 100]
+    assert sorted(map(tuple, both.collect())) == sorted(want)
+
+
+def test_source_joins_with_engine_tables(spark):
+    """The Python source composes with ordinary DataFrame ops — group by
+    generated lang × source, the shape corpus jobs run."""
+    register_synthdocs(spark)
+    df = _read(spark, n_docs=300)
+    agg = (
+        df.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("avg_chars"))
+    )
+    rows = agg.collect()
+    assert sum(r["n"] for r in rows) == 300
