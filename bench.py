@@ -81,6 +81,7 @@ HEADLINE = [
     "ks_drift_totalprice",
     "key_skew_profile",
     "stratified_group_sample",
+    "pr_auc_from_scores",
 ]
 
 

@@ -570,3 +570,88 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pos_rate, 4).alias("pos_rate"),
         F.round(F.avg("score") - pos_rate, 4).alias("gap"),
     )
+
+
+@register(
+    "pr_auc_from_scores",
+    oracle=f"""
+    WITH p AS (SELECT {_Y_SQL} AS y, {_SCORE_SQL} AS score FROM orders),
+    h AS (
+        SELECT score,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        FROM p GROUP BY score),
+    c AS (
+        SELECT score, n_pos, n_neg,
+               sum(n_pos) OVER (ORDER BY score DESC
+                   ROWS UNBOUNDED PRECEDING) AS ctp,
+               sum(n_pos + n_neg) OVER (ORDER BY score DESC
+                   ROWS UNBOUNDED PRECEDING) AS call
+        FROM h),
+    t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp_all,
+                 CAST(sum(n_neg) AS BIGINT) AS tn_all
+          FROM h)
+    SELECT max(tp_all) AS n_pos, max(tn_all) AS n_neg,
+           round(CAST(max(tp_all) AS DOUBLE)
+                 / (max(tp_all) + max(tn_all)), 4) AS prevalence,
+           round(sum((CAST(n_pos AS DOUBLE) / tp_all)
+                     * (CAST(ctp AS DOUBLE) / call)), 4) AS pr_auc
+    FROM c CROSS JOIN t
+    """,
+)
+def pr_auc_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) from the same raw (y, score) relation
+    as roc_auc_from_scores — the metric that stays informative under
+    the class imbalance typical of quality/toxicity filters, where
+    ROC-AUC saturates. AP = Σ_thresholds Δrecall × precision, with all
+    rows tied at a score treated as one threshold block (the
+    step-interpolation sklearn's average_precision_score uses).
+
+    Scale: identical shape to the ROC query — one partial-agg groupBy
+    collapses the data to the score-grid histogram (≤ ~1000 rows), the
+    DESC cumulative window and the AP fold run over that tiny frame,
+    and totals ride a broadcast scalar cross-join. The data is scanned
+    once and never globally sorted."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    y = F.when(h31(F.concat(F.lit("y|"), okey)) % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+    score = F.round(
+        (h31(F.concat(F.lit("s|"), okey)) % 700) / F.lit(1000.0)
+        + F.lit(0.3) * y,
+        3,
+    )
+    p = o.select(y.alias("y"), score.alias("score"))
+    h = p.groupBy("score").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    wc = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "score",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(wc).alias("ctp"),
+        F.sum(F.col("n_pos") + F.col("n_neg")).over(wc).alias("call"),
+    )
+    t = h.agg(
+        F.sum("n_pos").cast("long").alias("tp_all"),
+        F.sum("n_neg").cast("long").alias("tn_all"),
+    )
+    term = (F.col("n_pos").cast("double") / F.col("tp_all")) * (
+        F.col("ctp").cast("double") / F.col("call")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max("tp_all").alias("n_pos"),
+            F.max("tn_all").alias("n_neg"),
+            F.round(
+                F.max("tp_all").cast("double")
+                / (F.max("tp_all") + F.max("tn_all")),
+                4,
+            ).alias("prevalence"),
+            F.round(F.sum(term), 4).alias("pr_auc"),
+        )
+    )
