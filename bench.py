@@ -82,6 +82,7 @@ HEADLINE = [
     "key_skew_profile",
     "stratified_group_sample",
     "pr_auc_from_scores",
+    "point_in_time_features",
 ]
 
 

@@ -438,3 +438,97 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "point_in_time_features",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+    hist AS (
+        SELECT user_id, ts, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS cum_n,
+               floor((200 * sum(vc) OVER w + count(*) OVER w)
+                     / (2.0 * count(*) OVER w)) / 10000.0 AS cum_avg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    labels AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id,
+           epoch_us(l.ts) AS label_ts_us,
+           h.cum_n, h.cum_avg
+    FROM labels l ASOF LEFT JOIN hist h
+      ON l.user_id = h.user_id AND h.ts < l.ts
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store primitive
+    that prevents label leakage: each label event (purchases) is joined
+    to the feature snapshot built from events STRICTLY BEFORE its
+    timestamp (running count and mean of the user's activity), never at
+    or after it. This generalizes the reference's 50-week "features
+    as-of the training week" alignment (utils/model_operations.py
+    window assembly) to event-time granularity.
+
+    Implementation: a cumulative window materializes a feature snapshot
+    at every event, then operators/joins.asof_join (backward,
+    allow_exact_matches=False — the leakage guard) picks the latest
+    snapshot before each label. The DuckDB oracle is a native ASOF LEFT
+    JOIN with a strict inequality, proving engine-independence of the
+    semantics including the no-leakage tie rule.
+
+    Scale: ONE shuffle on user_id serves both the snapshot window and
+    the tagged-union as-of merge (same partitioning); no range
+    explosion, no per-label subquery. State per user is the snapshot
+    row, not the history."""
+    from mle_proj_datapipeline_spark.operators.joins import asof_join
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Cumulative mean in EXACT integer arithmetic (registry float-parity
+    # convention, strengthened): values go to integer cents, the
+    # windowed SUM is exact regardless of accumulation order (DuckDB's
+    # segment tree vs Spark's running frame), and the 4-decimal mean is
+    # half-up integer division — floor((200·sum + n) / 2n) — so neither
+    # engine ever rounds a float at a .5 boundary. Magnitudes stay far
+    # below 2^53, so the final double division is bit-equal too.
+    vc = F.round(F.col("value") * 100).cast("long")
+    cnt = F.count(F.lit(1)).over(w)
+    avg_e4 = F.floor(
+        (F.lit(200) * F.sum("vc").over(w) + cnt) / (F.lit(2.0) * cnt)
+    )
+    hist = ev.withColumn("vc", vc).select(
+        "user_id",
+        "ts",
+        cnt.alias("cum_n"),
+        (avg_e4 / F.lit(10000.0)).alias("cum_avg"),
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        labels,
+        hist,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        allow_exact_matches=False,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("label_ts_us"),
+        "cum_n",
+        "cum_avg",
+    )
