@@ -521,8 +521,15 @@ def _lsh_rerank(base: DataFrame, bands: int, k: int) -> DataFrame:
         a.join(b_, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
+    if k == 1:
+        # Multi-band duplicate pairs score identically, and the rank-1
+        # window keeps exactly one row per query regardless — the
+        # distinct's whole shuffle is redundant for top-1. (For k>1 a
+        # duplicate could occupy two of the k slots, so dedup stays.)
+        pass
+    else:
+        pairs = pairs.distinct()
 
     qv = base.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
     cv = base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"))
@@ -594,7 +601,12 @@ def lsh_index_topk(spark, root: str, k: int = 1) -> DataFrame:
     meta = lsh_index_geometry(spark, root)
     if meta is None:
         raise FileNotFoundError(f"no LSH index committed under {root}")
-    base = read_snapshot(spark, f"{root}/signatures")
+    # Materialize the committed signature table once per serve call: the
+    # rerank consumes it three times (band explode, query vectors,
+    # candidate vectors) and re-scanning even a small parquet snapshot
+    # 3× costs more than one localCheckpoint of it — and gives AQE
+    # exact sizes for the rerank's broadcast decisions.
+    base = materialize(read_snapshot(spark, f"{root}/signatures"))
     return _lsh_rerank(base, int(meta["bands"]), k)
 
 
