@@ -108,6 +108,20 @@ def _prev_round_timings() -> dict[str, float]:
     return {}
 
 
+def _release_checkpoints(spark) -> None:
+    """Unpersist all persistent RDD blocks (localCheckpoint residue from
+    materializing queries). Run BETWEEN timed queries, outside the timed
+    region: without this, block-manager accumulation across 100 query
+    executions inflates late-list queries by up to ~2x and makes totals
+    order-dependent — each query should be measured as the self-contained
+    job it is in production."""
+    try:
+        for j in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            j.unpersist(False)
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -134,12 +148,14 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+        _release_checkpoints(spark)
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        _release_checkpoints(spark)
 
     prev = _prev_round_timings()
     deltas = {
