@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -106,8 +107,44 @@ class SynthDocsPushdownReader(SynthDocsReader):
                 yield f
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: micro-batches of ``batch_size`` docs by id range,
+    up to ``max_docs``. The OFFSET ({'next': id}) fully determines the
+    data — ``readBetweenOffsets`` regenerates any replayed batch
+    byte-identically, which is the whole exactly-once contract for a
+    source: recovery after a crash re-reads the same rows, not fresh
+    ones. ``commit`` is a no-op (nothing to release; generation is
+    pure)."""
+
+    def __init__(self, options: dict):
+        self.batch_size = int(options.get("batch_size", 100))
+        self.max_docs = int(options.get("max_docs", 1000))
+
+    def initialOffset(self) -> dict:  # noqa: N802 - API
+        return {"next": 0}
+
+    def _rows(self, lo: int, hi: int) -> list:
+        # Lists, not generators: Spark pickles the prefetched batch to
+        # replay it into the plan, and generators don't pickle. A batch
+        # is batch_size rows — bounded by the option, never data-sized.
+        return [_row(doc_id) for doc_id in range(lo, hi)]
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.max_docs)
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802 - API
+        return self._rows(int(start["next"]), int(end["next"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SynthDocsDataSource(DataSource):
-    """``spark.read.format("synthdocs").option("n_docs", N).load()``."""
+    """``spark.read.format("synthdocs").option("n_docs", N).load()`` —
+    or ``spark.readStream`` with batch_size/max_docs for the streaming
+    form."""
 
     @classmethod
     def name(cls) -> str:
@@ -120,6 +157,9 @@ class SynthDocsDataSource(DataSource):
         if str(self.options.get("filterPushdown", "false")).lower() == "true":
             return SynthDocsPushdownReader(self.options)
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SynthDocsStreamReader:  # noqa: N802
+        return SynthDocsStreamReader(self.options)
 
 
 def register_synthdocs(spark) -> None:

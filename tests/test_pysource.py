@@ -65,3 +65,38 @@ def test_source_joins_with_engine_tables(spark):
     )
     rows = agg.collect()
     assert sum(r["n"] for r in rows) == 300
+
+
+def test_stream_source_equals_batch(spark, tmp_path):
+    """Streaming form: micro-batches by id-range offset; the streamed
+    rows must equal the batch read of the same id range (offsets fully
+    determine data — the exactly-once replay contract)."""
+    import time
+
+    register_synthdocs(spark)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("batch_size", 100)
+        .option("max_docs", 250)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("synth_stream").count() >= 250:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("synth_stream").collect()))
+    want = sorted(
+        map(tuple, _read(spark, n_docs=250).collect())
+    )
+    assert got == want and len(got) == 250
