@@ -655,3 +655,108 @@ def pr_auc_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 4).alias("pr_auc"),
         )
     )
+
+
+@register(
+    "agreement_metrics",
+    oracle=f"""
+    WITH p AS (
+        SELECT {_YT} AS y_true, {_YP} AS y_pred FROM orders),
+    cm AS (SELECT y_true, y_pred, count(*) AS n FROM p GROUP BY 1, 2),
+    cls AS (
+        SELECT grade,
+               CAST(sum(n_true) AS BIGINT) AS n_true,
+               CAST(sum(n_pred) AS BIGINT) AS n_pred,
+               CAST(sum(tp) AS BIGINT) AS tp
+        FROM (
+            SELECT y_true AS grade, n AS n_true, 0 AS n_pred,
+                   CASE WHEN y_true = y_pred THEN n ELSE 0 END AS tp
+            FROM cm
+            UNION ALL
+            SELECT y_pred, 0, n, 0 FROM cm)
+        GROUP BY grade),
+    t AS (
+        SELECT CAST(sum(n_true) AS BIGINT) AS s,
+               CAST(sum(tp) AS BIGINT) AS c,
+               CAST(sum(n_true * n_pred) AS BIGINT) AS spt,
+               CAST(sum(n_pred * n_pred) AS BIGINT) AS sp2,
+               CAST(sum(n_true * n_true) AS BIGINT) AS st2
+        FROM cls)
+    SELECT s AS n,
+           round(CAST(c AS DOUBLE) / s, 4) AS accuracy,
+           round(CAST(c * s - spt AS DOUBLE) / (s * s - spt), 4) AS kappa,
+           round(CAST(c * s - spt AS DOUBLE)
+                 / sqrt(CAST(s * s - sp2 AS DOUBLE) * (s * s - st2)), 4)
+               AS mcc
+    FROM t
+    """,
+)
+def agreement_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement from the same raw predictions relation
+    as prediction_metrics: Cohen's kappa ((po − pe)/(1 − pe), algebra
+    reduced to the integer identity (c·s − Σp·t)/(s² − Σp·t)) and the
+    multiclass Matthews correlation (Gorodkin's R_k) — the two metrics
+    that stay honest under class imbalance where accuracy and even F1
+    inflate.
+
+    Every term (c, s, Σp·t, Σp², Σt²) is an exact integer from the
+    |grades|-row class frame, so both engines compute identical doubles
+    in the final divisions — no rounding-order hazard.
+
+    Scale: identical shape to prediction_metrics — one scan, one
+    map-side-combinable groupBy to the confusion matrix, everything
+    after runs on ≤ |grades|² rows."""
+    o = load_table(spark, sf_dir, "orders")
+    garr = F.array(*[F.lit(g) for g in GRADES])
+    okey = F.col("o_orderkey").cast("string")
+    yt = F.element_at(garr, (h31(F.concat(F.lit("true|"), okey)) % 7 + 1).cast("int"))
+    keep = h31(F.concat(F.lit("flip|"), okey)) % 10 < 7
+    yp_alt = F.element_at(garr, (h31(F.concat(F.lit("pred|"), okey)) % 7 + 1).cast("int"))
+    preds = o.select(
+        yt.alias("y_true"), F.when(keep, yt).otherwise(yp_alt).alias("y_pred")
+    )
+    cm = preds.groupBy("y_true", "y_pred").agg(F.count(F.lit(1)).alias("n"))
+    contrib = cm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("y_true").alias("grade"),
+                    F.col("n").alias("n_true"),
+                    F.lit(0).cast("long").alias("n_pred"),
+                    F.when(F.col("y_true") == F.col("y_pred"), F.col("n"))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("tp"),
+                ),
+                F.struct(
+                    F.col("y_pred").alias("grade"),
+                    F.lit(0).cast("long").alias("n_true"),
+                    F.col("n").alias("n_pred"),
+                    F.lit(0).cast("long").alias("tp"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    cls = contrib.groupBy("grade").agg(
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("tp").alias("tp"),
+    )
+    t = cls.agg(
+        F.sum("n_true").alias("s"),
+        F.sum("tp").alias("c"),
+        F.sum(F.col("n_true") * F.col("n_pred")).alias("spt"),
+        F.sum(F.col("n_pred") * F.col("n_pred")).alias("sp2"),
+        F.sum(F.col("n_true") * F.col("n_true")).alias("st2"),
+    )
+    s, c = F.col("s"), F.col("c")
+    spt, sp2, st2 = F.col("spt"), F.col("sp2"), F.col("st2")
+    num = (c * s - spt).cast("double")
+    return t.select(
+        s.alias("n"),
+        F.round(c.cast("double") / s, 4).alias("accuracy"),
+        F.round(num / (s * s - spt), 4).alias("kappa"),
+        F.round(
+            num / F.sqrt((s * s - sp2).cast("double") * (s * s - st2)), 4
+        ).alias("mcc"),
+    )

@@ -46,3 +46,53 @@ def observed_write(
         writer.save(path)
     # Observation.get blocks until the action's metrics arrive.
     return dict(obs.get)
+
+
+class ExpectationError(ValueError):
+    """Raised when a write's observed metrics violate declared
+    expectations. Carries the full metric report for logging/alerting."""
+
+    def __init__(self, failures: list[str], report: dict):
+        super().__init__(
+            "expectations failed: " + "; ".join(failures)
+        )
+        self.failures = failures
+        self.report = report
+
+
+def enforce_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, Column, "callable"]],
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Quality-gated write: run the write with each rule's metric
+    observed on the write's own pass, then apply the predicates to the
+    returned values. All rules are evaluated (one job, one scan, full
+    report) before anything raises — so the alert shows EVERY violated
+    expectation, not just the first.
+
+    ``rules``: (name, aggregate Column, predicate(value) -> bool).
+    Returns the {name: value} report on success; raises
+    ExpectationError (report attached) listing every failed rule
+    otherwise. Note the gate is post-hoc: the data is already written
+    when it fires — pair with a versioned sink (sources/snapshots) so a
+    failed commit can be rolled back / never promoted."""
+    report = observed_write(
+        df, {name: col for name, col, _ in rules}, path=path, fmt=fmt, mode=mode
+    )
+    failures = []
+    for name, _, pred in rules:
+        value = report.get(name)
+        try:
+            ok = bool(pred(value))
+        except Exception as ex:  # predicate itself blew up — that's a failure
+            ok = False
+            failures.append(f"{name}: predicate error {ex!r} on value={value!r}")
+            continue
+        if not ok:
+            failures.append(f"{name}: value={value!r} violates expectation")
+    if failures:
+        raise ExpectationError(failures, report)
+    return report

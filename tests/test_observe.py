@@ -46,3 +46,34 @@ def test_observe_is_single_scan(spark):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans == 1, plan
     assert "CollectMetrics" in plan
+
+
+def test_enforce_expectations_pass_and_fail(spark):
+    from mle_proj_datapipeline_spark.sources.observe import (
+        ExpectationError,
+        enforce_expectations,
+    )
+
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    report = enforce_expectations(
+        o,
+        [
+            ("has_rows", F.count(F.lit(1)), lambda v: v > 0),
+            ("no_null_keys", F.count_if(F.col("o_orderkey").isNull()), lambda v: v == 0),
+        ],
+    )
+    assert report["has_rows"] > 0
+
+    import pytest
+
+    with pytest.raises(ExpectationError) as ei:
+        enforce_expectations(
+            o,
+            [
+                ("impossible", F.count(F.lit(1)), lambda v: v < 0),
+                ("also_bad", F.min("o_totalprice"), lambda v: v > 1e12),
+            ],
+        )
+    # ALL failed rules are reported, not just the first
+    assert len(ei.value.failures) == 2
+    assert "impossible" in ei.value.failures[0]
