@@ -52,6 +52,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "weekly_revenue_spine",
     "kmeans_embedding_cells",
+    "semantic_dedup_medoids",
     "benchmark_decontamination",
     "context_window_packing",
     "shipping_priority",

@@ -261,6 +261,53 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semantic dedup: keep the medoid of every trained embedding cluster
+# --------------------------------------------------------------------------
+def _semantic_dedup_oracle() -> str:
+    return f"""
+    WITH {_kmeans_cte_prefix()},
+    final AS (SELECT vid, cell, dist_sq FROM a2 WHERE rk = 1),
+    ranked2 AS (
+        SELECT cell, vid, dist_sq,
+               row_number() OVER (PARTITION BY cell
+                   ORDER BY dist_sq ASC, vid ASC) AS rk2,
+               count(*) OVER (PARTITION BY cell) AS n_members
+        FROM final)
+    SELECT cell, vid AS kept_vec_id, round(dist_sq, 4) AS medoid_dist,
+           n_members, n_members - 1 AS n_dropped
+    FROM ranked2 WHERE rk2 = 1
+    """
+
+
+@register("semantic_dedup_medoids", oracle=_semantic_dedup_oracle())
+def semantic_dedup_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup — the cluster-level complement of the pairwise
+    near-dup family (MinHash/SimHash/cosine find copies; this collapses
+    *topical* redundancy): train the k-means quantizer (same two Lloyd
+    iterations as kmeans_embedding_cells), then keep exactly ONE
+    representative per cell — the medoid-by-centroid-distance, tie-broken
+    on vec_id — and drop the rest. SemDeDup-style pruning re-expressed as
+    pure relational ops.
+
+    Scale shape: assignment is joinless map work (codebook compiles to a
+    closed-form nearest-cell expression), and medoid selection is a
+    single min_by aggregation on cell — partial-aggregated map-side, one
+    ids-only shuffle, no window sort, no pairwise joins anywhere. At
+    100 TB the kept-set is |cells| rows; the corpus itself shuffles only
+    the (cell, dist) pairs. The oracle re-derives the full training run
+    (shared CTE prefix), so the kept/dropped decision is hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.kmeans_iterate(emb, iterations=2)
+    n = F.count(F.lit(1))
+    return assigned.groupBy("cell").agg(
+        F.min_by("vid", F.struct("dist_sq", "vid")).alias("kept_vec_id"),
+        F.round(F.min("dist_sq"), 4).alias("medoid_dist"),
+        n.alias("n_members"),
+        (n - F.lit(1)).alias("n_dropped"),
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF over the TRAINED codebook (kmeans_fit feeds ivf cell index)
 # --------------------------------------------------------------------------
 def _ivf_trained_oracle() -> str:

@@ -214,3 +214,44 @@ def test_production_model_registry_roundtrip(spark, tmp_path_factory, monkeypatc
     assert [r["version"] for r in by_week] == list(range(1, len(rows) + 1))
     assert max(by_week, key=lambda r: r["week"])["stage"] == "Production"
     assert all(r["params"].startswith("depth=") for r in rows)
+
+
+def test_recursive_cte_matches_applyinpandas_fold(spark):
+    """Spark 4 recursive-CTE surface: the retraining fold expressed
+    natively as WITH RECURSIVE ... UNION ALL (one recursion level per
+    week index — acyclic, so UNION ALL terminates) must reproduce
+    decide_batch's applyInPandas fold row-for-row. Truncated to the
+    first ~60 weeks per model so recursion depth stays under the
+    engine's level limit; the applyInPandas fold stays the scale path
+    (depth-independent, one shuffle on model)."""
+    from mle_proj_datapipeline_spark.streaming.lifecycle import F1_THRESHOLD
+
+    panel = weekly_model_metrics(spark, SF_SMOKE).filter("week < '1996-02-01'")
+    panel.createOrReplaceTempView("trigger_panel_v")
+    got_df = spark.sql(f"""
+        WITH RECURSIVE w AS (
+            SELECT model, week, metric,
+                   row_number() OVER (PARTITION BY model ORDER BY week) AS idx
+            FROM trigger_panel_v),
+        rec AS (
+            SELECT model, week, metric, idx, 'init' AS reason,
+                   CAST(week AS DATE) AS last_retrain
+            FROM w WHERE idx = 1
+            UNION ALL
+            SELECT w.model, w.week, w.metric, w.idx,
+                   CASE WHEN w.metric < {F1_THRESHOLD} THEN 'low_f1'
+                        WHEN datediff(CAST(w.week AS DATE), r.last_retrain)
+                                 >= {STALE_DAYS} THEN 'stale'
+                        ELSE 'none' END,
+                   CASE WHEN w.metric < {F1_THRESHOLD}
+                             OR datediff(CAST(w.week AS DATE), r.last_retrain)
+                                    >= {STALE_DAYS}
+                        THEN CAST(w.week AS DATE) ELSE r.last_retrain END
+            FROM rec r JOIN w ON w.model = r.model AND w.idx = r.idx + 1)
+        SELECT model, week, metric, reason FROM rec
+    """)
+    got = _decisions_dict(got_df.collect())
+    want = _decisions_dict(decide_batch(panel).collect())
+    assert got == want and len(got) > 0
+    # both trigger arms actually exercised in the truncated panel
+    assert {"low_f1", "init"} <= set(got_df.toPandas()["reason"])

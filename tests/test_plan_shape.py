@@ -209,6 +209,15 @@ def test_kmeans_assign_is_joinless_map_work(spark):
     for op in ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"]:
         assert op not in plan, f"kmeans_embedding_cells: unexpected {op}\n{plan}"
 
+    # Semantic dedup rides the same assignment: scan → project →
+    # min_by aggregate (SortAggregate — struct-ordered min_by has no
+    # codegen path, but partial agg still runs map-side), no join of
+    # any kind.
+    plan = plan_of(spark, "semantic_dedup_medoids")
+    for op in ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"]:
+        assert op not in plan, f"semantic_dedup_medoids: unexpected {op}\n{plan}"
+    assert "partial_min_by" in plan, f"map-side partial agg missing\n{plan}"
+
     # Trained IVF: the only joins are the broadcast probe/rerank joins.
     plan = plan_of(spark, "ann_ivf_trained_topk")
     assert "BroadcastHashJoin" in plan, f"probe join not broadcast\n{plan}"
