@@ -53,6 +53,8 @@ HEADLINE = [
     "weekly_revenue_spine",
     "kmeans_embedding_cells",
     "semantic_dedup_medoids",
+    "cm_sketch_heavy_hitters",
+    "session_window_stats",
     "benchmark_decontamination",
     "context_window_packing",
     "shipping_priority",

@@ -774,6 +774,90 @@ def approx_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-Min sketch heavy hitters — the frequency-estimation sibling of
+# the HLL cardinality path. The sketch is a RELATION (d×w cells), built
+# with the cross-engine H31 hash family, so unlike HLL bits the whole
+# sketch AND its point estimates are hash-verified against the oracle.
+# --------------------------------------------------------------------------
+CM_DEPTH = 3
+CM_WIDTH = 256
+
+
+def _cm_bucket_sql(j: str, key: str) -> str:
+    e = f"CAST({j} AS VARCHAR) || '|' || CAST({key} AS VARCHAR)"
+    return f"({_h31(e)} % {CM_WIDTH})"
+
+
+@register(
+    "cm_sketch_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey),
+    cells AS (
+        SELECT t.j AS j, {_cm_bucket_sql('t.j', 'counts.key')} AS bucket,
+               CAST(sum(n) AS BIGINT) AS cell_n
+        FROM counts, range(0, {CM_DEPTH}) t(j)
+        GROUP BY 1, 2),
+    top10 AS (SELECT key, n FROM counts ORDER BY n DESC, key ASC LIMIT 10)
+    SELECT t.key AS o_custkey, CAST(t.n AS BIGINT) AS exact_n,
+           min(c.cell_n) AS cm_est
+    FROM top10 t, range(0, {CM_DEPTH}) r(j)
+    JOIN cells c ON c.j = r.j AND c.bucket = {_cm_bucket_sql('r.j', 't.key')}
+    GROUP BY t.key, t.n
+    """,
+)
+def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation for the top-10 customers by
+    order count: per-key counts fold into a CM_DEPTH×CM_WIDTH (3×256)
+    cell relation (bucket = H31(j|key) mod width), and each heavy
+    hitter's estimate is the min over its CM_DEPTH cells — always ≥ the
+    exact count, so the (exact, estimate) pair exposes collision error
+    and the oracle hash-verifies both.
+
+    Scale shape: ONE scan of orders (the per-key aggregate is
+    materialized and feeds sketch, top-k, and estimation), the sketch is
+    a bounded d×w relation built by partial-aggregated sums of the
+    per-key counts (NOT of raw rows — the explode factor applies to
+    |keys|, not |orders|), and estimation joins the broadcast-sized cell
+    table. At 100 TB the cells merge map-side exactly like any
+    combinable aggregate; point queries are O(d) lookups."""
+    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = materialize_frame(
+        o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def bucket(j_col: F.Column, key_col: F.Column) -> F.Column:
+        return (
+            h31(F.concat(j_col.cast("string"), F.lit("|"), key_col.cast("string")))
+            % CM_WIDTH
+        )
+
+    j = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j")
+    cells = (
+        counts.select("key", "n", j)
+        .select("j", bucket(F.col("j"), F.col("key")).alias("bucket"), "n")
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+    top10 = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(10)
+    return (
+        top10.select("key", "n", j)
+        .withColumn("bucket", bucket(F.col("j"), F.col("key")))
+        .join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("key", "n")
+        .agg(F.min("cell_n").alias("cm_est"))
+        .select(
+            F.col("key").alias("o_custkey"),
+            F.col("n").alias("exact_n"),
+            "cm_est",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic list aggregation: sort_array(collect_list) -> string
 # --------------------------------------------------------------------------
 @register(

@@ -270,6 +270,59 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# K: native session_window in BATCH (the built-in operator itself)
+# --------------------------------------------------------------------------
+@register(
+    "session_window_stats",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    f AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the BUILT-IN ``session_window`` operator in
+    batch mode (user_sessions hand-rolls the same islands with lag +
+    flag-sum; this exercises the native operator Structured Streaming
+    shares, so batch and stream sessionization run ONE code path).
+    Semantics pinned by the oracle: an event extends the session iff
+    ts ≤ last_ts + gap (exact microsecond arithmetic — the data has
+    sub-second timestamps), session_end = last event + gap. One shuffle
+    on (user_id, window-merge); no windows, no self-join."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # E4: as-of join (temporal alignment generalized)
 # --------------------------------------------------------------------------
 @register(
