@@ -55,6 +55,7 @@ HEADLINE = [
     "semantic_dedup_medoids",
     "cm_sketch_heavy_hitters",
     "session_window_stats",
+    "orders_footer_stats",
     "benchmark_decontamination",
     "context_window_packing",
     "shipping_priority",

@@ -774,6 +774,42 @@ def approx_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Footer-served table stats — DSv2 aggregate pushdown: COUNT/MIN/MAX
+# answered from parquet row-group metadata, zero data pages read.
+# --------------------------------------------------------------------------
+@register(
+    "orders_footer_stats",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice,
+           min(o_custkey) AS min_o_custkey,
+           max(o_custkey) AS max_o_custkey
+    FROM orders
+    """,
+)
+def orders_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level COUNT/MIN/MAX served from parquet FOOTER statistics
+    (DSv2 aggregate pushdown — the plan shows ``PushedAggregation`` and
+    reads row-group metadata, not data pages). At 100 TB this is the
+    difference between seconds and a full-table scan for the stats
+    queries every pipeline health check runs. ``footer_stats`` fails
+    loudly if pushdown silently degrades (e.g. a column type the footer
+    can't serve), and restores the session's v1-reader default after
+    materializing the one-row result."""
+    import os
+
+    from mle_proj_datapipeline_spark.sources.readers import footer_stats
+
+    return footer_stats(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        min_cols=("o_totalprice", "o_custkey"),
+        max_cols=("o_totalprice", "o_custkey"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Count-Min sketch heavy hitters — the frequency-estimation sibling of
 # the HLL cardinality path. The sketch is a RELATION (d×w cells), built
 # with the cross-engine H31 hash family, so unlike HLL bits the whole

@@ -72,3 +72,61 @@ def read_json(
     else:
         reader = reader.option("mode", "FAILFAST")
     return reader.json(path)
+
+
+def footer_stats(
+    spark: SparkSession,
+    path: str,
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    require_pushdown: bool = True,
+) -> DataFrame:
+    """Metadata-only table stats: COUNT(*) plus MIN/MAX of the given
+    columns served from parquet FOOTER statistics via DSv2 aggregate
+    pushdown — the scan reads row-group metadata, not data pages, so at
+    100 TB this answers in seconds regardless of table size.
+
+    The v2 reader and ``spark.sql.parquet.aggregatePushdown`` are
+    enabled only for the duration of this call (the session-wide default
+    stays the v1 reader, whose plan shapes the rest of the engine is
+    guarded against); the one-row result is materialized inside that
+    window via an eager ``localCheckpoint``, then the confs are
+    restored. With ``require_pushdown`` (the default) the call FAILS
+    LOUDLY if the optimizer could not push the aggregate (e.g. a
+    timestamp column, a filter, or a non-parquet source) — silently
+    falling back to a full scan would defeat the point.
+    """
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    conf_keys = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    for k, v in conf_keys.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        out = df.agg(*aggs)
+        if require_pushdown:
+            plan = out._sc._jvm.PythonSQLUtils.explainString(
+                out._jdf.queryExecution(), "simple"
+            )
+            if "PushedAggregation: [COUNT" not in plan:
+                raise ValueError(
+                    f"footer_stats: aggregate was not pushed to the parquet "
+                    f"footer for {path} (unsupported column type or source); "
+                    f"use a plain agg instead of silently full-scanning"
+                )
+        return materialize_frame(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -164,3 +164,35 @@ def test_metrics_sink_dispatch(spark, tmp_path, monkeypatch):
     assert M.resolve_metrics_target(root) == "jdbc:postgresql://db/x"
     monkeypatch.delenv("SPARK_GRAFT_METRICS_URL")
     assert M.resolve_metrics_target(root) == root
+
+
+def test_footer_stats_pushdown_and_parity(spark):
+    """footer_stats serves COUNT/MIN/MAX from parquet footers: the
+    result must equal the plain full-scan aggregate, the session's
+    reader confs must be restored afterward (the rest of the engine is
+    plan-guarded against the v1 reader), and an un-pushable column
+    (timestamp) must FAIL LOUDLY rather than silently full-scan."""
+    from mle_proj_datapipeline_spark.sources.readers import footer_stats
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+
+    got = footer_stats(
+        spark, path, min_cols=("o_totalprice",), max_cols=("o_custkey",)
+    ).collect()[0]
+    plain = (
+        read_parquet(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_o_totalprice"),
+            F.max("o_custkey").alias("max_o_custkey"),
+        )
+        .collect()[0]
+    )
+    assert got.asDict() == plain.asDict()
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before_v1
+
+    # timestamp min/max has no footer-stats pushdown path -> loud error
+    with pytest.raises(ValueError, match="not pushed"):
+        footer_stats(spark, path, min_cols=("o_orderdate",))
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before_v1
