@@ -86,6 +86,7 @@ HEADLINE = [
     "key_skew_profile",
     "stratified_group_sample",
     "pr_auc_from_scores",
+    "lift_gain_deciles",
     "point_in_time_features",
 ]
 

@@ -658,6 +658,103 @@ def pr_auc_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lift_gain_deciles",
+    oracle=f"""
+    WITH p AS (SELECT {_Y_SQL} AS y, {_SCORE_SQL} AS score FROM orders),
+    h AS (
+        SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        FROM p GROUP BY score),
+    c AS (
+        SELECT score, n, n_pos,
+               COALESCE(sum(n) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM h),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(sum(n_pos) AS BIGINT) AS np FROM h),
+    d AS (
+        SELECT least(CAST(floor(cum_before * 10.0 / nn) AS BIGINT), 9) + 1
+                   AS decile,
+               n, n_pos
+        FROM c CROSS JOIN t),
+    g AS (
+        SELECT decile, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(n_pos) AS BIGINT) AS n_pos
+        FROM d GROUP BY decile)
+    SELECT decile, n, n_pos,
+           round(CAST(sum(n_pos) OVER w AS DOUBLE) / np, 4) AS cum_gain,
+           round((CAST(sum(n_pos) OVER w AS DOUBLE) / sum(n) OVER w)
+                 / (CAST(np AS DOUBLE) / nn), 4) AS cum_lift
+    FROM g CROSS JOIN t
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile — the targeting-curve
+    companion of the ROC/PR/calibration family: decile 1 = highest
+    scores; cum_gain = share of all positives captured so far, cum_lift
+    = how many times better than random targeting that capture is.
+
+    Deciles are derived from the SCORE-GRID HISTOGRAM, not ntile over
+    raw rows: each score value maps to floor(rows_above × 10 / N) — a
+    whole score-group lands in one decile, so the result is independent
+    of row order and partitioning, and no data-sized global sort ever
+    runs (the textbook ntile(10) formulation is exactly the shape this
+    avoids). One scan → partial-agg histogram (≤ ~1000 rows); every
+    window runs over the histogram or the 10-row decile frame; totals
+    ride a broadcast scalar cross-join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    y = F.when(h31(F.concat(F.lit("y|"), okey)) % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+    score = F.round(
+        (h31(F.concat(F.lit("s|"), okey)) % 700) / F.lit(1000.0)
+        + F.lit(0.3) * y,
+        3,
+    )
+    p = o.select(y.alias("y"), score.alias("score"))
+    h = p.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    wb = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, -1)
+    c = h.withColumn("cum_before", F.coalesce(F.sum("n").over(wb), F.lit(0)))
+    t = h.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n_pos").cast("long").alias("np"),
+    )
+    d = c.crossJoin(F.broadcast(t)).select(
+        (
+            F.least(
+                F.floor(F.col("cum_before") * 10.0 / F.col("nn")), F.lit(9)
+            ).cast("long")
+            + 1
+        ).alias("decile"),
+        "n",
+        "n_pos",
+    )
+    g = d.groupBy("decile").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.sum("n_pos").over(wd).cast("double") / F.col("np"), 4).alias(
+            "cum_gain"
+        ),
+        F.round(
+            (F.sum("n_pos").over(wd).cast("double") / F.sum("n").over(wd))
+            / (F.col("np").cast("double") / F.col("nn")),
+            4,
+        ).alias("cum_lift"),
+    )
+
+
+@register(
     "agreement_metrics",
     oracle=f"""
     WITH p AS (
