@@ -815,8 +815,7 @@ def orders_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the cross-engine H31 hash family, so unlike HLL bits the whole
 # sketch AND its point estimates are hash-verified against the oracle.
 # --------------------------------------------------------------------------
-CM_DEPTH = 3
-CM_WIDTH = 256
+from mle_proj_datapipeline_spark.operators.sketch import CM_DEPTH, CM_WIDTH
 
 
 def _cm_bucket_sql(j: str, key: str) -> str:
@@ -857,34 +856,18 @@ def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     |keys|, not |orders|), and estimation joins the broadcast-sized cell
     table. At 100 TB the cells merge map-side exactly like any
     combinable aggregate; point queries are O(d) lookups."""
-    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.operators import sketch
     from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
 
     o = load_table(spark, sf_dir, "orders")
     counts = materialize_frame(
         o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
     )
-
-    def bucket(j_col: F.Column, key_col: F.Column) -> F.Column:
-        return (
-            h31(F.concat(j_col.cast("string"), F.lit("|"), key_col.cast("string")))
-            % CM_WIDTH
-        )
-
-    j = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j")
-    cells = (
-        counts.select("key", "n", j)
-        .select("j", bucket(F.col("j"), F.col("key")).alias("bucket"), "n")
-        .groupBy("j", "bucket")
-        .agg(F.sum("n").alias("cell_n"))
-    )
+    cells = sketch.cm_cells_from_counts(counts)
     top10 = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(10)
     return (
-        top10.select("key", "n", j)
-        .withColumn("bucket", bucket(F.col("j"), F.col("key")))
-        .join(F.broadcast(cells), ["j", "bucket"])
-        .groupBy("key", "n")
-        .agg(F.min("cell_n").alias("cm_est"))
+        sketch.cm_estimate(cells, top10)
+        .join(F.broadcast(top10), "key")
         .select(
             F.col("key").alias("o_custkey"),
             F.col("n").alias("exact_n"),

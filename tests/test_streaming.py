@@ -450,3 +450,67 @@ def test_streaming_psi_with_pinned_expected_fracs(spark, tmp_path_factory):
     # fold must raise, not silently null out.
     with pytest.raises(ValueError, match="baseline week"):
         D.psi_series(spark, counts, bwk).collect()
+
+
+def test_streaming_cm_sketch_equals_batch(spark, tmp_path_factory):
+    """Streaming CM-sketch twin: orders arriving in two waves through
+    the incremental foreachBatch maintenance must yield EXACTLY the
+    cells of cm_cells over the union (mergeability, tested not
+    asserted), heavy-hitter estimates served from the maintained sketch
+    must equal the oracle-gated batch query's, and a replayed pass with
+    no new files must not change the cells (idempotent batch commits)."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators import sketch as SK
+    from mle_proj_datapipeline_spark.plans.extension_queries import (
+        cm_sketch_heavy_hitters,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming import sketch as SS
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+
+    land = str(tmp_path_factory.mktemp("cm_land"))
+    cells_dir = str(tmp_path_factory.mktemp("cm_cells"))
+    ck = str(tmp_path_factory.mktemp("cm_ck"))
+
+    cut = orders.agg(F.expr("percentile(o_orderkey, 0.5)")).collect()[0][0]
+    orders.filter(F.col("o_orderkey") <= cut).write.mode("append").parquet(land)
+    schema = spark.read.parquet(land).schema
+
+    def cells_rows(df):
+        return sorted((r["j"], r["bucket"], r["cell_n"]) for r in df.collect())
+
+    SS.incremental_cm_cells(spark, land, schema, cells_dir, ck, "o_custkey")
+    wave1_cells = cells_rows(SS.served_cells(spark, cells_dir))
+    assert wave1_cells
+
+    orders.filter(F.col("o_orderkey") > cut).write.mode("append").parquet(land)
+    SS.incremental_cm_cells(spark, land, schema, cells_dir, ck, "o_custkey")
+    got = cells_rows(SS.served_cells(spark, cells_dir))
+
+    # Mergeability: maintained cells == cells of the union, computed flat.
+    want = cells_rows(SK.cm_cells(orders, "o_custkey"))
+    assert got == want and got != wave1_cells
+
+    # Serving: estimates from the maintained sketch == the oracle-gated
+    # batch query (same top-10 keys, same min-over-cells estimates).
+    top10 = (
+        orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(10)
+    )
+    served = {
+        r["key"]: r["cm_est"]
+        for r in SK.cm_estimate(SS.served_cells(spark, cells_dir), top10).collect()
+    }
+    batch = {
+        r["o_custkey"]: r["cm_est"] for r in cm_sketch_heavy_hitters(spark, sf).collect()
+    }
+    assert served == batch and len(served) == 10
+
+    # Replay with no new files: cells unchanged.
+    SS.incremental_cm_cells(spark, land, schema, cells_dir, ck, "o_custkey")
+    assert cells_rows(SS.served_cells(spark, cells_dir)) == got
