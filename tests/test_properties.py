@@ -316,3 +316,33 @@ def test_chunk_geometry_invariants():
         assert covered == set(range(n))
 
     check()
+
+
+KEYS = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40
+)
+
+
+@SLOW
+@given(KEYS)
+def test_cm_sketch_overestimates_and_conserves_mass(spark, keys):
+    """CM sketch invariants on arbitrary key multisets: (1) the point
+    estimate of EVERY key is ≥ its true count (the one-sided error
+    guarantee); (2) each of the d sketch rows conserves total mass —
+    sum(cell_n) per j equals the number of input rows (hashing moves
+    counts between buckets, never creates or loses them)."""
+    from collections import Counter
+
+    from mle_proj_datapipeline_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    cells = SK.cm_cells(df, "k")
+
+    per_row = {r["j"]: r["s"] for r in cells.groupBy("j").agg(F.sum("cell_n").alias("s")).collect()}
+    assert per_row == {j: len(keys) for j in range(SK.CM_DEPTH)}
+
+    uniq = spark.createDataFrame([(k,) for k in set(keys)], "key bigint")
+    est = {r["key"]: r["cm_est"] for r in SK.cm_estimate(cells, uniq).collect()}
+    true = Counter(keys)
+    assert set(est) == set(true)
+    assert all(est[k] >= n for k, n in true.items())
