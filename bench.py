@@ -27,6 +27,7 @@ import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.lifecycle_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.tpch_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.quality_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.analytics_queries  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import QUERIES
 from mle_proj_datapipeline_spark.session import get_spark
 
@@ -88,6 +89,8 @@ HEADLINE = [
     "pr_auc_from_scores",
     "lift_gain_deciles",
     "point_in_time_features",
+    "mad_outlier_stats",
+    "pps_orders_sample",
 ]
 
 

@@ -1,0 +1,287 @@
+"""Round-5 analytics extensions: robust statistics, PPS sampling, and
+calendar seasonality.
+
+Families added here (each a first-class §2-style operator with a DuckDB
+oracle):
+
+- **Poisson PPS sampling with Horvitz–Thompson weights** — the
+  production form of weighted sampling (probability proportional to
+  size) for building training mixes from heavy-tailed corpora. The
+  reference samples uniformly via ``df.sample`` (utils/
+  model_operations.py:79-85); PPS + HT-weighting is the
+  survey-statistics upgrade that keeps totals unbiased. Inclusion is
+  decided by pure integer hash arithmetic (H31 mod 1e6 vs an integer
+  per-row threshold), so the sample is reproducible across runs,
+  engines, and cluster sizes — no RNG, no partition dependence.
+- **Deterministic fixed-size uniform sample** — ORDER BY content hash
+  LIMIT k. Spark executes this as TakeOrderedAndProject (per-partition
+  top-k, then a k-row merge on the driver) — no global sort at 100 TB.
+- **Robust outlier detection (median/MAD)** — the heavy-tail-safe
+  sibling of ``zscore_acctbal_by_nation``. Mean/stddev break under the
+  very outliers they are meant to find; median absolute deviation does
+  not (Iglewicz–Hoaglin modified z-score, |0.6745·dev/MAD| > 3.5).
+- **Day-of-week seasonality index** — calendar-profile drift feature
+  (reference runs its whole pipeline on a weekly cron, dags/dag.py:77;
+  the seasonality index is the natural data-level check that weekly
+  cadence matches the data's own weekly cycle).
+
+Float parity: every float output is rounded on both sides per the
+registry convention (money 2dp, ratios 4dp)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mle_proj_datapipeline_spark.plans.llm_common import _h31
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# Graph centrality: PageRank over the supplier co-occurrence graph
+# --------------------------------------------------------------------------
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration as chained CTEs — the oracle runs the
+    exact recurrence the Spark operator runs (teleport 0.15/n, damping
+    0.85, symmetric co-occurrence edges, |V| = non-isolated nodes)."""
+    stages = []
+    for k in range(1, _PR_ITERS + 1):
+        stages.append(f"""
+    c{k} AS (
+        SELECT e.dst AS node, sum(p.r / deg.deg) AS m
+        FROM e JOIN r{k - 1} p ON e.src = p.node JOIN deg ON deg.src = e.src
+        GROUP BY e.dst),
+    r{k} AS (
+        SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(c{k}.m, 0) AS r
+        FROM v CROSS JOIN nn LEFT JOIN c{k} ON c{k}.node = v.node)""")
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    v AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT count(*) AS n FROM v),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM v CROSS JOIN nn),
+    {",".join(stages)}
+    SELECT node AS s_suppkey, round(r, 6) AS pr FROM r{_PR_ITERS}
+    """
+
+
+@register("supplier_pagerank", oracle=_pagerank_oracle())
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-purchase graph (suppliers are
+    linked when they fulfil lines of the same order) — link-graph
+    importance as a corpus/source-quality prior, the graph-centrality
+    sibling of ``neardup_clusters``'s connected components.
+
+    Edge build: ONE self-equi-join of the distinct (order, supplier)
+    projection on l_orderkey — fan-out bounded by suppliers-per-order,
+    never all-pairs. Iteration: see operators/graph.pagerank (one
+    shuffle per round, partial aggregation, checkpointed lineage).
+
+    Float parity: teleport is 1-0.85 computed in binary vs the
+    oracle's 0.15 decimal literal — ≤1 ulp apart, invisible at the
+    6dp output rounding."""
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pr")
+    )
+
+# --------------------------------------------------------------------------
+# J4 extension: Poisson PPS sample + Horvitz–Thompson weights
+# --------------------------------------------------------------------------
+_PPS_MOD = 1_000_000
+
+
+@register(
+    "pps_orders_sample",
+    oracle=f"""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           round({_PPS_MOD}.0 / CAST(floor(o_totalprice) AS BIGINT), 4) AS ht_weight
+    FROM orders
+    WHERE {_h31('CAST(o_orderkey AS VARCHAR)')} % {_PPS_MOD}
+          < CAST(floor(o_totalprice) AS BIGINT)
+    """,
+)
+def pps_orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli (Poisson) sample of
+    orders: row i is kept iff H31(key) mod 1e6 < floor(weight_i), i.e.
+    with inclusion probability p_i = floor(w_i)/1e6, and carries its
+    Horvitz–Thompson weight 1/p_i so any downstream SUM(x·ht_weight)
+    is an unbiased estimate of the population total.
+
+    All-integer inclusion arithmetic — bit-identical across engines and
+    cluster layouts, unlike ``df.sample(seed=)`` (partition-dependent,
+    reference utils/model_operations.py:79-85). Map-only: no shuffle,
+    filter evaluated at the scan."""
+    from mle_proj_datapipeline_spark.operators.dedup import h31
+
+    o = load_table(spark, sf_dir, "orders")
+    w_int = F.floor(F.col("o_totalprice")).cast("bigint")
+    keep = h31(F.col("o_orderkey").cast("string")) % _PPS_MOD < w_int
+    return o.filter(keep).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        F.round(F.lit(float(_PPS_MOD)) / w_int, 4).alias("ht_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 extension: fixed-size uniform sample as TakeOrdered (no global sort)
+# --------------------------------------------------------------------------
+@register(
+    "uniform_k_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    ORDER BY {_h31('CAST(o_orderkey AS VARCHAR)')}, o_orderkey
+    LIMIT 500
+    """,
+)
+def uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample: order by content hash, take k. A
+    fixed-SIZE complement to the fixed-RATE ``orders_hash_sample`` —
+    reservoir-sampling semantics without RNG state. Spark plans
+    ORDER BY+LIMIT as TakeOrderedAndProject: each partition keeps its
+    local top-500 by hash, the driver merges 500·P candidate rows —
+    no global sort, no full shuffle, scale-safe at any corpus size."""
+    from mle_proj_datapipeline_spark.operators.dedup import h31
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority")
+        .orderBy(h31(F.col("o_orderkey").cast("string")), F.col("o_orderkey"))
+        .limit(500)
+    )
+
+
+# --------------------------------------------------------------------------
+# D9/I3 extension: median/MAD robust outlier profile per nation
+# --------------------------------------------------------------------------
+@register(
+    "mad_outlier_stats",
+    oracle="""
+    WITH c AS (
+        SELECT n_name, CAST(round(c_acctbal * 100) AS BIGINT) AS cb
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    m AS (SELECT n_name, median(cb) AS med FROM c GROUP BY 1),
+    d AS (
+        SELECT c.n_name, med, abs(cb - med) AS dev
+        FROM c JOIN m USING (n_name)),
+    s AS (SELECT n_name, max(med) AS med, median(dev) AS mad FROM d GROUP BY 1)
+    SELECT d.n_name,
+           round(max(d.med) / 100, 4) AS med,
+           round(max(s.mad) / 100, 4) AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN s.mad > 0 AND 0.6745 * d.dev > 3.5 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (n_name)
+    GROUP BY d.n_name
+    """,
+)
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile: median + MAD + count of
+    modified-z outliers (Iglewicz–Hoaglin: |0.6745·(x−med)/MAD| > 3.5).
+    The heavy-tail-safe alternative to ``zscore_acctbal_by_nation`` —
+    mean/stddev are themselves dragged by the outliers being hunted;
+    median/MAD have a 50% breakdown point.
+
+    Plan shape: ONE scan of customer, ONE hash exchange on n_name —
+    both medians come from window aggregates over the same partitioning
+    (dev's median is a second Window op on the already-exchanged data),
+    then a partial-aggregated groupBy on the same key. The nation dim
+    is broadcast. At 100 TB swap the exact window median for
+    approx_percentile(0.5) (sketch path) without changing shape.
+
+    Cross-engine float parity: medians are computed over integer CENTS
+    so every even-count midpoint (x.5) is exact in double — interpolated
+    medians of 2-decimal money land exactly on half-cents, where the two
+    engines' interpolation formulas otherwise differ by 1 ulp and flip
+    the rounded output."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cb")
+    )
+    w = Window.partitionBy("n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("med", F.expr("median(cb)").over(w))
+        .withColumn("dev", F.abs(F.col("cb") - F.col("med")))
+        .withColumn("mad", F.expr("median(dev)").over(w))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.max("med") / 100, 4).alias("med"),
+            F.round(F.max("mad") / 100, 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (0.6745 * F.col("dev") > 3.5 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# I2/D9 extension: day-of-week seasonality index over events
+# --------------------------------------------------------------------------
+@register(
+    "dow_seasonality",
+    oracle="""
+    WITH d AS (
+        SELECT isodow(ts) AS isodow,
+               count(*) AS n_events,
+               sum(value) AS sv
+        FROM events GROUP BY 1)
+    SELECT isodow, n_events,
+           round(sv / n_events, 4) AS avg_value,
+           round((sv / n_events)
+                 / (sum(sv) OVER () / sum(n_events) OVER ()), 4)
+               AS seasonality_idx
+    FROM d
+    """,
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: per-ISO-weekday mean event value and its
+    ratio to the overall mean. Detects whether the pipeline's weekly
+    cadence (reference cron ``0 6 * * 0``, dags/dag.py:77) matches the
+    data's own weekly cycle, and is the standard de-seasonalization
+    feature for calendar-aware drift monitoring.
+
+    Plan shape: ONE scan aggregated to ≤7 rows (partial agg map-side),
+    overall mean derived from the 7-row aggregate by an unpartitioned
+    window — no second scan, no broadcast-join of a scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select((F.weekday("ts") + 1).alias("isodow"), "value")
+        .groupBy("isodow")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+    )
+    w = Window.partitionBy()
+    avg = F.col("sv") / F.col("n_events")
+    overall = F.sum("sv").over(w) / F.sum("n_events").over(w)
+    return d.select(
+        "isodow",
+        "n_events",
+        F.round(avg, 4).alias("avg_value"),
+        F.round(avg / overall, 4).alias("seasonality_idx"),
+    )
