@@ -285,3 +285,148 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 4).alias("avg_value"),
         F.round(avg / overall, 4).alias("seasonality_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed linear algebra: covariance matrix + PCA power iteration
+# --------------------------------------------------------------------------
+_EMB_D = 64
+_POWER_ITERS = 8
+
+_COV_CTE = f"""
+    x AS (
+        SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
+        FROM embeddings),
+    cells AS (
+        SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+               avg(ed[i + 1] * ed[j + 1]) AS exy,
+               avg(ed[i + 1]) AS ex, avg(ed[j + 1]) AS ey
+        FROM x
+        CROSS JOIN range(0, {_EMB_D}) t1(i) CROSS JOIN range(0, {_EMB_D}) t2(j)
+        GROUP BY 1, 2),
+    cov AS (SELECT i, j, exy - ex * ey AS c FROM cells)"""
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+    WITH {_COV_CTE}
+    SELECT i, j, round(c, 6) + 0 AS cov FROM cov WHERE i <= j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns — the
+    E[xy] − E[x]E[y] moment aggregation that PCA whitening, Mahalanobis
+    scoring, and feature-decorrelation all start from.
+
+    Plan shape: ONE scan; each row fans out to d² (i,j,xi,xj) cells via
+    two nested posexplodes (JVM-side, no UDF, no join), and partial
+    aggregation collapses them to d² running moments per partition
+    BEFORE the shuffle — shuffle volume is #partitions · d², independent
+    of row count. For d in the thousands swap the explode for a
+    per-partition NumPy Gram accumulation over mapInPandas (the Arrow
+    path); at d=64 the JVM explode wins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    pairs = x.select("i", "xi", F.posexplode("e").alias("j", "xj")).filter(
+        F.col("i") <= F.col("j")
+    )
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.avg(F.col("xi") * F.col("xj")).alias("exy"),
+            F.avg("xi").alias("ex"),
+            F.avg("xj").alias("ey"),
+        )
+        .select(
+            "i", "j",
+            (F.round(F.col("exy") - F.col("ex") * F.col("ey"), 6) + F.lit(0.0)).alias("cov"),
+        )
+    )
+
+
+def _power_iteration_oracle() -> str:
+    """Unrolled power iteration v ← C·v / ‖C·v‖ as chained CTEs, from
+    the exact uniform start vector 1/8 (= 1/√64, exact in binary)."""
+    stages = []
+    for k in range(1, _POWER_ITERS + 1):
+        stages.append(f"""
+    u{k} AS (
+        SELECT cov.i AS j, sum(cov.c * v{k - 1}.v) AS u
+        FROM cov JOIN v{k - 1} ON cov.j = v{k - 1}.j
+        GROUP BY cov.i),
+    n{k} AS (SELECT sqrt(sum(u * u)) AS nrm FROM u{k}),
+    v{k} AS (SELECT j, u / nrm AS v FROM u{k} CROSS JOIN n{k})""")
+    return f"""
+    WITH {_COV_CTE},
+    v0 AS (SELECT CAST(j AS INTEGER) AS j, 0.125 AS v FROM range(0, {_EMB_D}) t(j)),
+    {",".join(stages)},
+    ray AS (
+        SELECT sum(v{_POWER_ITERS}.v * u) AS eigval
+        FROM u{_POWER_ITERS} JOIN v{_POWER_ITERS} USING (j)
+        CROSS JOIN n{_POWER_ITERS})
+    SELECT j AS dim, round(v, 5) + 0 AS loading, round(eigval, 6) + 0 AS eigval
+    FROM v{_POWER_ITERS} CROSS JOIN ray
+    """
+
+
+@register("embedding_pca_power", oracle=_power_iteration_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by distributed
+    power iteration: v ← C·v/‖C·v‖ over the d² covariance DataFrame —
+    PCA as pure joins + aggregations, no MLlib, no driver linear
+    algebra. Returns (dim, loading, eigval) with the Rayleigh-quotient
+    eigenvalue λ = vᵀCv (= ‖u‖ после normalize since v is unit).
+
+    Scale design: the data-sized work is the ONE covariance pass
+    (see embedding_covariance — shuffle is d² per partition); the
+    iteration then runs on d²-row / d-row DataFrames (matvec = one
+    equi-join + groupBy per round, lineage truncated per round). The
+    deterministic uniform start (1/√d, exact in binary) and fixed
+    iteration count make both engines run the identical recurrence —
+    sign and value are reproducible, unlike RNG-seeded solvers."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    cov = (
+        x.select("i", "xi", F.posexplode("e").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(
+            F.avg(F.col("xi") * F.col("xj")).alias("exy"),
+            F.avg("xi").alias("ex"),
+            F.avg("xj").alias("ey"),
+        )
+        .select("i", "j", (F.col("exy") - F.col("ex") * F.col("ey")).alias("c"))
+        .localCheckpoint()
+    )
+    v = cov.select(F.col("j")).distinct().withColumn("v", F.lit(1.0 / _EMB_D ** 0.5))
+    w = Window.partitionBy()
+    u = None
+    for _ in range(_POWER_ITERS):
+        u = (
+            cov.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+            .select(F.col("i").alias("j"), "u")
+        )
+        v = (
+            u.withColumn("nrm", F.sqrt(F.sum(F.col("u") * F.col("u")).over(w)))
+            .select("j", (F.col("u") / F.col("nrm")).alias("v"))
+            .localCheckpoint()
+        )
+    eig = u.join(v, "j").select(F.sum(F.col("v") * F.col("u")).alias("eigval"))
+    return (
+        v.join(F.broadcast(eig))
+        .select(
+            F.col("j").alias("dim"),
+            (F.round("v", 5) + F.lit(0.0)).alias("loading"),
+            (F.round("eigval", 6) + F.lit(0.0)).alias("eigval"),
+        )
+    )

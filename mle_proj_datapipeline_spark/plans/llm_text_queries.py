@@ -272,3 +272,63 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((ttr >= 0.3) & (top <= 0.2), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
     )
 
+
+
+# --------------------------------------------------------------------------
+# Text: distributed BPE vocabulary learning (merge-table training)
+# --------------------------------------------------------------------------
+_BPE_MERGES = 6
+_BPE_CHARS = 64
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE training as chained CTEs: per step, adjacent-pair
+    counts over the double-delimited token stream, deterministic argmax
+    (count DESC, left, right), literal merge rewrite. Exactly the
+    recurrence operators/bpe.bpe_learn runs."""
+    prep = f"""
+    s0 AS (
+        SELECT '||' || array_to_string(
+                   string_split(replace(replace(
+                       substr(lower(text), 1, {_BPE_CHARS}), '|', ''), ' ', '_'),
+                   ''), '||') || '||' AS s
+        FROM documents)"""
+    stages = []
+    for k in range(1, _BPE_MERGES + 1):
+        stages.append(f"""
+    t{k} AS (
+        SELECT list_filter(string_split(s, '||'), x -> x <> '') AS tok
+        FROM s{k - 1}),
+    p{k} AS (
+        SELECT u.z[1] AS l, u.z[2] AS r, count(*) AS c
+        FROM (SELECT unnest(list_zip(tok, tok[2:])) AS z FROM t{k}) u
+        WHERE u.z[2] IS NOT NULL
+        GROUP BY 1, 2),
+    m{k} AS (
+        SELECT {k} AS step, l, r, c FROM p{k}
+        ORDER BY c DESC, l, r LIMIT 1),
+    s{k} AS (
+        SELECT replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|') AS s
+        FROM s{k - 1} CROSS JOIN m{k})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT step, l AS left, r AS right, c AS pair_count FROM m{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"WITH {prep},{','.join(stages)} {union}"
+
+
+@register("bpe_merge_table", oracle=_bpe_oracle())
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the documents corpus: learn the
+    first {n} merge rules (the artifact a tokenizer ships). Completes
+    the text family's tokenizer story — ``doc_token_stats`` counts
+    tokens with a fixed regex; this learns the vocabulary itself from
+    corpus statistics. See operators/bpe.py for the per-step plan shape
+    (one partial-aggregated pair-count shuffle + map-only rewrite) and
+    the double-delimiter encoding that makes literal replace an exact
+    greedy BPE merge in both engines."""
+    from mle_proj_datapipeline_spark.operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn(docs, "text", n_merges=_BPE_MERGES, max_chars=_BPE_CHARS)

@@ -41,6 +41,7 @@ COLLECT_ALLOWED = {
     "sources/snapshots.py",  # z-order min/max bounds (1 row)
     "plans/lifecycle_queries.py",  # none today
     "streaming/drift.py",  # pinned baseline fractions (10 rows, deploy-time)
+    "operators/bpe.py",  # per-step merge rule argmax (1 row, driver-held)
 }
 
 

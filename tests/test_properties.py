@@ -346,3 +346,60 @@ def test_cm_sketch_overestimates_and_conserves_mass(spark, keys):
     true = Counter(keys)
     assert set(est) == set(true)
     assert all(est[k] >= n for k, n in true.items())
+
+
+def test_bpe_learn_hand_corpus_and_monotone_counts(spark):
+    """BPE merge table on a hand-checkable corpus: argmax order
+    (count DESC, left, right), greedy non-overlapping merge ("aaa"
+    yields ONE aa merge), and the pair_count sequence is non-increasing
+    (merging the max pair can only shrink or equal future maxima)."""
+    from mle_proj_datapipeline_spark.operators.bpe import bpe_learn
+
+    docs = spark.createDataFrame([("aaab",), ("aab",)], "text STRING")
+    got = [tuple(r) for r in bpe_learn(docs, "text", n_merges=2).collect()]
+    # step 1: (a,a) appears 3x ("aaab": aa,aa -> greedy counts pairs
+    # per adjacency = 2; "aab": 1) and beats (a,b)=2.
+    assert got[0] == (1, "a", "a", 3)
+    # step 2 state: [aa,a,b] + [aa,b] (greedy: "aaa" merged ONCE).
+    # all pairs tie at 1 -> lexicographic argmax picks (a, b).
+    assert got[1] == (2, "a", "b", 1)
+
+    # monotone: on a larger corpus the chosen counts never increase.
+    docs2 = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the bat and the rat",), ("that hat",)],
+        "text STRING",
+    )
+    table = bpe_learn(docs2, "text", n_merges=5).collect()
+    counts = [r["pair_count"] for r in table]
+    assert counts == sorted(counts, reverse=True)
+    assert [r["step"] for r in table] == list(range(1, len(table) + 1))
+
+
+def test_bpe_stream_invariant_roundtrip(spark):
+    """The double-delimiter encoding keeps its invariant through
+    merges: decoding the rewritten stream yields tokens whose
+    concatenation (with '_' space marker) reproduces the cleaned
+    input text."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [("banana band",), ("banana",)], "text STRING"
+    )
+    corpus = docs.select(bpe.encode_tokens("text").alias("s"))
+    # apply two merges by hand through the operator's rewrite form
+    for left, right in [("a", "n"), ("an", "a")]:
+        corpus = corpus.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"|{left}{bpe.DELIM}{right}|"),
+                F.lit(f"|{left}{right}|"),
+            ).alias("s")
+        )
+    rows = corpus.select(
+        F.array_join(
+            F.filter(F.split("s", r"\|\|"), lambda t: t != F.lit("")), ""
+        ).alias("flat")
+    ).collect()
+    assert sorted(r["flat"] for r in rows) == ["banana", "banana_band"]
