@@ -30,6 +30,7 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the closest right row at
     or before (``backward``) / at or after (``forward``) its timestamp,
@@ -46,8 +47,14 @@ def asof_join(
     payload column is NULL yields NULL for that column (merge_asof
     semantics), never a value inherited from an older/newer right row.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, allow_exact_matches, tolerance_s
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
 
     payload = [c for c in right.columns if c not in on and c != right_ts]
     # Tag order controls exact-match inclusion: for backward, right rows
@@ -57,7 +64,9 @@ def asof_join(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0 if right_first else 2).alias("__tag"),
-        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload]
+        ).alias("__payload"),
     )
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
@@ -70,11 +79,99 @@ def asof_join(
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         picked = F.first(F.col("__payload"), ignorenulls=True).over(w)
 
+    out = unioned.withColumn("__payload", picked).filter(F.col("__tag") == 1)
+    if tolerance_s is not None:
+        diff = _gap_fn(left, left_ts)
+        gap = (
+            diff("__ts", "__payload.__rts")
+            if direction == "backward"
+            else diff("__payload.__rts", "__ts")
+        )
+        out = out.withColumn(
+            "__payload",
+            F.when(gap <= F.lit(tolerance_s), F.col("__payload")),
+        )
     return (
-        unioned.withColumn("__payload", picked)
-        .filter(F.col("__tag") == 1)
-        .withColumns({c: F.col(f"__payload.{c}") for c in payload})
+        out.withColumns({c: F.col(f"__payload.{c}") for c in payload})
         .drop("__ts", "__tag", "__payload")
+    )
+
+
+def _gap_fn(left: DataFrame, left_ts: str):
+    """Gap expression builder matched to the ts dtype: timestamp
+    columns go through the NTZ-safe seconds_between; plain numeric
+    event-time columns subtract directly (same units as tolerance_s)."""
+    if dict(left.dtypes)[left_ts].startswith("timestamp"):
+        from mle_proj_datapipeline_spark.functions.core import seconds_between
+
+        return seconds_between
+    return lambda end, start: F.col(end) - F.col(start)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    allow_exact_matches: bool,
+    tolerance_s: int | None,
+) -> DataFrame:
+    """merge_asof(direction="nearest"): closest right row on EITHER
+    side, distance ties resolving backward (pandas semantics). Right
+    rows enter the union TWICE (a backward-visible and a forward-
+    visible copy whose sort tags encode the exact-match rule), so one
+    Exchange + one sort serves both direction picks; cost is one extra
+    right-side shuffle copy, never a range join."""
+    diff = _gap_fn(left, left_ts)
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    pstruct = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload])
+    # Visibility tags vs the left tag 1 at equal ts: backward window
+    # ends at currentRow (sees tags < 1), forward starts there.
+    tag_b = 0 if allow_exact_matches else 2
+    tag_f = 2 if allow_exact_matches else 0
+    rb = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(tag_b).alias("__tag"),
+        pstruct.alias("__pb"),
+    )
+    rf = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(tag_f).alias("__tag"),
+        pstruct.alias("__pf"),
+    )
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    unioned = lt.unionByName(rb, allowMissingColumns=True).unionByName(
+        rf, allowMissingColumns=True
+    )
+
+    base = Window.partitionBy(*on).orderBy("__ts", "__tag")
+    bwin = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwin = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = (
+        unioned.withColumn("__b", F.last("__pb", ignorenulls=True).over(bwin))
+        .withColumn("__f", F.first("__pf", ignorenulls=True).over(fwin))
+        .filter(F.col("__tag") == 1)
+    )
+    db = diff("__ts", "__b.__rts")
+    df = diff("__f.__rts", "__ts")
+    b_ok = F.col("__b").isNotNull() & (
+        F.lit(True) if tolerance_s is None else db <= F.lit(tolerance_s)
+    )
+    f_ok = F.col("__f").isNotNull() & (
+        F.lit(True) if tolerance_s is None else df <= F.lit(tolerance_s)
+    )
+    pick = (
+        F.when(b_ok & f_ok, F.when(df < db, F.col("__f")).otherwise(F.col("__b")))
+        .when(b_ok, F.col("__b"))
+        .when(f_ok, F.col("__f"))
+    )
+    return (
+        out.withColumn("__pick", pick)
+        .withColumns({c: F.col(f"__pick.{c}") for c in payload})
+        .drop("__ts", "__tag", "__pb", "__pf", "__b", "__f", "__pick")
     )
 
 
@@ -88,6 +185,7 @@ def asof_join_salted(
     n_salts: int = 16,
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Skew-resistant as-of join — the mitigation asof_join's docstring
     names, as a code path: when one equality key holds a large fraction
@@ -116,6 +214,7 @@ def asof_join_salted(
         right_ts=right_ts,
         direction=direction,
         allow_exact_matches=allow_exact_matches,
+        tolerance_s=tolerance_s,
     ).drop("__salt")
 
 

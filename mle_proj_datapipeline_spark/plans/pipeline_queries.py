@@ -585,3 +585,61 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_n",
         "cum_avg",
     )
+
+
+# --------------------------------------------------------------------------
+# E4 extension: nearest-direction as-of join with tolerance
+# --------------------------------------------------------------------------
+@register(
+    "asof_nearest_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id AS user_id,
+           count(*) AS n_purchases,
+           count(m.mts) AS n_matched,
+           round(CAST(sum(abs(date_diff('second', m.mts, p.ts))) AS DOUBLE)
+                 / count(m.mts), 4) AS avg_abs_gap_secs
+    FROM p LEFT JOIN LATERAL (
+        SELECT c.click_ts AS mts
+        FROM c
+        WHERE c.user_id = p.user_id
+          AND abs(date_diff('second', c.click_ts, p.ts)) <= 600
+        ORDER BY abs(date_diff('second', c.click_ts, p.ts)), c.click_ts
+        LIMIT 1) m ON TRUE
+    GROUP BY p.user_id
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='nearest', tolerance=600s) as an engine
+    query: each purchase matched to its closest click EITHER side
+    within 10 minutes, distance ties resolving backward (pandas
+    semantics; validated against pandas in tests/test_joins.py). The
+    oracle is a correlated LATERAL top-1 — quadratic per user and
+    fine for an oracle, while the engine path stays the union+window
+    plan (one shuffle, no row multiplication; see operators/joins.py
+    _asof_nearest)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("ts").alias("matched_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        direction="nearest",
+        tolerance_s=600,
+    )
+    gap = F.abs(seconds_between("ts", "matched_ts"))
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("matched_ts").alias("n_matched"),
+        F.round(F.sum(gap).cast("double") / F.count("matched_ts"), 4).alias(
+            "avg_abs_gap_secs"
+        ),
+    )

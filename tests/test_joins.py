@@ -37,18 +37,25 @@ def frames(spark):
     return left, right
 
 
-def _pandas_asof(direction, allow_exact):
+def _pandas_asof(direction, allow_exact, tolerance=None):
     lp = pd.DataFrame(LEFT, columns=["k", "ts", "lval"]).sort_values("ts")
     rp = pd.DataFrame(RIGHT, columns=["k", "ts", "payload"]).sort_values("ts")
     out = pd.merge_asof(
-        lp, rp, on="ts", by="k", direction=direction, allow_exact_matches=allow_exact
+        lp,
+        rp,
+        on="ts",
+        by="k",
+        direction=direction,
+        allow_exact_matches=allow_exact,
+        tolerance=tolerance,
     )
     return {(r.k, r.ts): (None if pd.isna(r.payload) else r.payload) for r in out.itertuples()}
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("allow_exact", [True, False])
-def test_asof_matches_pandas(spark, frames, direction, allow_exact):
+@pytest.mark.parametrize("tolerance", [None, 5, 9, 10])
+def test_asof_matches_pandas(spark, frames, direction, allow_exact, tolerance):
     left, right = frames
     got = {
         (r["k"], r["ts"]): r["payload"]
@@ -60,9 +67,10 @@ def test_asof_matches_pandas(spark, frames, direction, allow_exact):
             right_ts="ts",
             direction=direction,
             allow_exact_matches=allow_exact,
+            tolerance_s=tolerance,
         ).collect()
     }
-    assert got == _pandas_asof(direction, allow_exact)
+    assert got == _pandas_asof(direction, allow_exact, tolerance)
 
 
 def test_asof_null_payload_atomic(spark):
