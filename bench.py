@@ -91,6 +91,12 @@ HEADLINE = [
     "point_in_time_features",
     "mad_outlier_stats",
     "pps_orders_sample",
+    "supplier_pagerank",
+    "bpe_merge_table",
+    "embedding_pca_power",
+    "asof_nearest_click",
+    "event_transition_matrix",
+    "target_encode_priority",
 ]
 
 

@@ -108,3 +108,29 @@ def bpe_learn(
     return spark.createDataFrame(
         merges, "step INT, left STRING, right STRING, pair_count BIGINT"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    max_chars: int = 64,
+    out_col: str = "bpe_stream",
+) -> DataFrame:
+    """Transform step of the fit→transform pair: re-encode ``text_col``
+    and apply the learned merges IN TRAINING ORDER as chained literal
+    replaces (each is map-only, JVM-side). ``merges`` is the DataFrame
+    ``bpe_learn`` returned (collected here — the merge table is the
+    driver-held model artifact, thousands of rows at most) or an
+    in-memory [(left, right), ...] list."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").collect()
+        rules = [(r["left"], r["right"]) for r in rows]
+    else:
+        rules = list(merges)
+    col = encode_tokens(text_col, max_chars)
+    for left, right in rules:
+        col = F.replace(
+            col, F.lit(f"|{left}{DELIM}{right}|"), F.lit(f"|{left}{right}|")
+        )
+    return docs.withColumn(out_col, col)

@@ -430,3 +430,108 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("eigval", 6) + F.lit(0.0)).alias("eigval"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J-family extension: leave-one-out target encoding with smoothing
+# --------------------------------------------------------------------------
+_TE_PRIOR_M = 20  # smoothing pseudo-count
+
+
+@register(
+    "target_encode_priority",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+    g AS (
+        SELECT o_orderkey, o_orderpriority, y,
+               sum(y) OVER (PARTITION BY o_orderpriority) AS s,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n,
+               sum(y) OVER () AS gs, count(*) OVER () AS gn
+        FROM o)
+    SELECT o_orderkey,
+           round(CAST(s - y AS DOUBLE) / (n - 1), 6) AS loo_te,
+           round((CAST(s - y AS DOUBLE) + {_TE_PRIOR_M} * (CAST(gs AS DOUBLE) / gn))
+                 / ((n - 1) + {_TE_PRIOR_M}), 6) AS loo_te_smooth
+    FROM g
+    """,
+)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_orderpriority against the
+    fulfilled-order target — the leakage-safe categorical encoding for
+    GBDT features (each row's own label is excluded from its category
+    mean; a smoothed variant shrinks rare categories toward the global
+    prior with m={m} pseudo-counts).
+
+    Plan shape: ONE scan, ONE hash exchange on the category (the
+    per-category sums are window aggregates; the global prior is an
+    unpartitioned window over the already-grouped data, not a second
+    scan or a crossJoin). Exact-integer sums → the division is the
+    same two doubles in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    wg = Window.partitionBy()
+    s, n = F.sum("y").over(wc), F.count(F.lit(1)).over(wc)
+    gs, gn = F.sum("y").over(wg), F.count(F.lit(1)).over(wg)
+    loo = (s - F.col("y")).cast("double") / (n - 1)
+    prior = gs.cast("double") / gn
+    smooth = ((s - F.col("y")).cast("double") + _TE_PRIOR_M * prior) / (
+        (n - 1) + _TE_PRIOR_M
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(loo, 6).alias("loo_te"),
+        F.round(smooth, 6).alias("loo_te_smooth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence analytics: first-order Markov transition matrix of event types
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    t AS (
+        SELECT prev, event_type AS next, count(*) AS c
+        FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT prev, next, c,
+           round(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY prev), 4) AS p
+    FROM t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next | prev) with counts — the behavioral-sequence
+    summary behind session modeling and anomaly scoring.
+
+    Plan shape: one shuffle on user_id for the lag window (total order
+    (ts, event_id) makes equal-timestamp sequences deterministic in
+    both engines), then a partial-aggregated groupBy on the (prev,next)
+    pair — |event_types|² rows — and a tiny window for row-normalized
+    probabilities. No self-join of events with events (the naive
+    sequential-pair join)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = (
+        s.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("prev")
+    return t.select(
+        "prev", "next", "c",
+        F.round(F.col("c").cast("double") / F.sum("c").over(wp), 4).alias("p"),
+    )

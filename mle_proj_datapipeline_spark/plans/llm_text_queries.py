@@ -332,3 +332,92 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn(docs, "text", n_merges=_BPE_MERGES, max_chars=_BPE_CHARS)
+
+
+def _bpe_segment_oracle() -> str:
+    """bpe_apply twin: re-run the training chain (same CTEs as
+    _bpe_oracle, merge rules only), then segment every doc with the
+    final rule set and report per-doc token stats."""
+    prep = f"""
+    d0 AS (
+        SELECT doc_id,
+               replace(replace(substr(lower(text), 1, {_BPE_CHARS}), '|', ''),
+                       ' ', '_') AS clean
+        FROM documents),
+    s0 AS (
+        SELECT '||' || array_to_string(string_split(clean, ''), '||') || '||' AS s
+        FROM d0),
+    a0 AS (
+        SELECT doc_id, clean,
+               '||' || array_to_string(string_split(clean, ''), '||') || '||' AS s
+        FROM d0)"""
+    stages = []
+    for k in range(1, _BPE_MERGES + 1):
+        stages.append(f"""
+    t{k} AS (
+        SELECT list_filter(string_split(s, '||'), x -> x <> '') AS tok
+        FROM s{k - 1}),
+    p{k} AS (
+        SELECT u.z[1] AS l, u.z[2] AS r, count(*) AS c
+        FROM (SELECT unnest(list_zip(tok, tok[2:])) AS z FROM t{k}) u
+        WHERE u.z[2] IS NOT NULL
+        GROUP BY 1, 2),
+    m{k} AS (
+        SELECT l, r FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+    s{k} AS (
+        SELECT replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|') AS s
+        FROM s{k - 1} CROSS JOIN m{k}),
+    a{k} AS (
+        SELECT doc_id, clean,
+               replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|') AS s
+        FROM a{k - 1} CROSS JOIN m{k})"""
+        )
+    last = f"a{_BPE_MERGES}"
+    return f"""
+    WITH {prep},{','.join(stages)}
+    SELECT doc_id,
+           CAST(len(clean) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split(s, '||'), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+           round(CAST(len(clean) AS DOUBLE)
+                 / len(list_filter(string_split(s, '||'), x -> x <> '')), 4)
+               AS chars_per_token
+    FROM {last} WHERE len(clean) > 0
+    """
+
+
+@register("bpe_segment_stats", oracle=_bpe_segment_oracle())
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit→transform over the same corpus: learn the merge table
+    (bpe_learn), then SEGMENT every document with it (bpe_apply — the
+    merge table is the driver-held model artifact applied as chained
+    map-only literal replaces) and report per-doc compression:
+    chars per BPE token. The production shape: train once, persist the
+    merge table, transform any corpus with zero extra shuffles."""
+    from mle_proj_datapipeline_spark.operators.bpe import bpe_apply, bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, "text", n_merges=_BPE_MERGES, max_chars=_BPE_CHARS)
+    applied = bpe_apply(docs, merges, "text", max_chars=_BPE_CHARS)
+    clean = F.replace(
+        F.replace(F.substring(F.lower(F.col("text")), 1, _BPE_CHARS), F.lit("|"), F.lit("")),
+        F.lit(" "),
+        F.lit("_"),
+    )
+    toks = F.filter(F.split(F.col("bpe_stream"), r"\|\|"), lambda t: t != F.lit(""))
+    return (
+        applied.select(
+            "doc_id",
+            F.length(clean).cast("bigint").alias("n_chars"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+    )
