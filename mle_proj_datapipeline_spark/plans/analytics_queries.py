@@ -24,6 +24,17 @@ oracle):
   (reference runs its whole pipeline on a weekly cron, dags/dag.py:77;
   the seasonality index is the natural data-level check that weekly
   cadence matches the data's own weekly cycle).
+- **Graph centrality (PageRank)** — operators/graph.py power iteration
+  over a co-purchase edge list; link-graph importance as a
+  source-quality prior.
+- **Distributed linear algebra** — covariance matrix by nested
+  posexplode + partial aggregation; top principal direction by power
+  iteration over the covariance DataFrame (PCA without MLlib or
+  driver linear algebra).
+- **Leave-one-out target encoding** — leakage-safe categorical
+  feature with m-smoothing toward the global prior.
+- **Markov transition matrix** — per-user event-sequence bigram
+  probabilities via one lag window + pair-count aggregation.
 
 Float parity: every float output is rounded on both sides per the
 registry convention (money 2dp, ratios 4dp)."""

@@ -431,3 +431,56 @@ def stratified_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy audit: k-anonymity + l-diversity over quasi-identifiers
+# --------------------------------------------------------------------------
+@register(
+    "k_anonymity_report",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n,
+               count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END)
+                   AS l_div
+        FROM customer GROUP BY 1, 2)
+    SELECT count(*) AS qi_groups,
+           CAST(min(n) AS BIGINT) AS k_anonymity,
+           CAST(min(l_div) AS BIGINT) AS l_diversity,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_in_lt5,
+           round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                 / sum(n), 4) AS frac_rows_lt5
+    FROM g
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a data release: k-anonymity (smallest
+    quasi-identifier group — here (nation, market segment)) and
+    l-diversity (fewest distinct sensitive values within any group,
+    sensitive = account-balance sign), plus the re-identification risk
+    mass (rows in groups below k=5). The governance sibling of the PII
+    scrub: scrubbing removes direct identifiers, this measures whether
+    the REMAINING columns still single people out.
+
+    Plan shape: one scan → partial-aggregated groupBy on the QI tuple →
+    a second aggregation over the (small) group relation to one row.
+    At 100 TB the QI-group relation is |QI cardinality|, not row count."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(
+                F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos")
+            ).alias("l_div"),
+        )
+    )
+    lt5 = F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0)))
+    return g.agg(
+        F.count(F.lit(1)).alias("qi_groups"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+        lt5.cast("bigint").alias("rows_in_lt5"),
+        F.round(lt5.cast("double") / F.sum("n"), 4).alias("frac_rows_lt5"),
+    )
