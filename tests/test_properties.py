@@ -403,3 +403,109 @@ def test_bpe_stream_invariant_roundtrip(spark):
         ).alias("flat")
     ).collect()
     assert sorted(r["flat"] for r in rows) == ["banana", "banana_band"]
+
+
+def test_pagerank_uniform_on_cycle_and_mass_conserved(spark):
+    """On a directed cycle every node has in/out degree 1, so PageRank's
+    stationary distribution is exactly uniform at every iteration; total
+    rank mass stays 1 (no dangling nodes by construction)."""
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+
+    n = 7
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src INT, dst INT"
+    )
+    rows = pagerank(edges, iterations=4).collect()
+    ranks = [r["r"] for r in rows]
+    assert len(ranks) == n
+    assert abs(sum(ranks) - 1.0) < 1e-12
+    for r in ranks:
+        assert abs(r - 1.0 / n) < 1e-12
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The operator runs the exact synchronous recurrence — verify
+    against a dense numpy implementation of the same formula on an
+    asymmetric deterministic graph."""
+    import numpy as np
+
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+
+    edges = [(a, b) for a in range(6) for b in range(6) if a != b and (a * 7 + b) % 3 == 0]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {r["node"]: r["r"] for r in pagerank(df, iterations=5).collect()}
+
+    nodes = sorted({a for a, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = {v: sum(1 for a, _ in edges if a == v) for v in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for a, b in edges:
+            if b in idx:
+                nxt[idx[b]] += 0.85 * r[idx[a]] / deg[a]
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v
+
+
+def test_pca_power_converges_on_gapped_spectrum(spark):
+    """On data with a dominant direction (large spectral gap), 8 power
+    iterations from the uniform start must align with numpy's exact top
+    eigenvector (|cos| -> 1) and eigenvalue. Synthetic 6-dim vectors:
+    coordinate 0 carries ~100x the variance of the rest."""
+    import numpy as np
+
+    from mle_proj_datapipeline_spark.operators.linalg import covariance, top_eigvec
+
+    d = 6
+    vecs = [
+        [float((k % 7) - 3) * 10.0]
+        + [float(((k * (j + 2)) % 5) - 2) * 0.3 for j in range(d - 1)]
+        for k in range(40)
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], f"embedding array<double>")
+    got = top_eigvec(covariance(df, "embedding"), d, iterations=8).collect()
+    v = np.array([r["v"] for r in sorted(got, key=lambda r: r["j"])])
+    eig_got = got[0]["eigval"]
+
+    X = np.array(vecs)
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    cos = abs(float(v @ V[:, -1]))  # both unit vectors
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+    assert cos > 0.9999, cos
+    assert abs(eig_got - w[-1]) / w[-1] < 1e-6
+
+
+def test_pca_power_consistent_on_real_embeddings(spark):
+    """On the (near-isotropic) real embeddings convergence is not
+    guaranteed in 8 rounds — but the result must still be internally
+    consistent: unit loading vector, Rayleigh quotient vᵀCv matching
+    the reported eigenvalue, and bounded above by numpy's true top
+    eigenvalue (Rayleigh bound)."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["embedding_pca_power"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    eig_got = rows[0]["eigval"]
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    w, _ = np.linalg.eigh(C)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # loadings rounded to 5dp
+    # reported eigval is the final-round norm ||C v_prev|| = v_finᵀC v_prev;
+    # pre-convergence it differs from v_finᵀ C v_fin by O(angle²) — allow 2%
+    rayleigh = float(v @ C @ v)
+    assert abs(rayleigh - eig_got) < 0.02 * abs(eig_got)
+    # both quotients obey the Rayleigh bound λ ≤ λ_max
+    assert eig_got <= w[-1] * (1 + 1e-9)
+    assert rayleigh <= w[-1] * (1 + 1e-9)
