@@ -42,6 +42,7 @@ COLLECT_ALLOWED = {
     "plans/lifecycle_queries.py",  # none today
     "streaming/drift.py",  # pinned baseline fractions (10 rows, deploy-time)
     "operators/bpe.py",  # per-step merge rule argmax (1 row, driver-held)
+    "streaming/transitions.py",  # snapshot partition-id listing (ints)
 }
 
 

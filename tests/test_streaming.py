@@ -514,3 +514,53 @@ def test_streaming_cm_sketch_equals_batch(spark, tmp_path_factory):
     # Replay with no new files: cells unchanged.
     SS.incremental_cm_cells(spark, land, schema, cells_dir, ck, "o_custkey")
     assert cells_rows(SS.served_cells(spark, cells_dir)) == got
+
+
+def test_streaming_transitions_equal_batch(spark, tmp_path_factory):
+    """Streaming transition-matrix twin: events in two event-time waves
+    through the incremental maintenance must yield EXACTLY the batch
+    event_transition_matrix over the union — including the pairs that
+    SPAN the wave boundary (first event of wave 2 pairs with the user's
+    last event of wave 1) — and a replayed pass with no new files must
+    change nothing."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.plans.analytics_queries import (
+        event_transition_matrix,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming import transitions as TR
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    land = str(tmp_path_factory.mktemp("tr_land"))
+    state = str(tmp_path_factory.mktemp("tr_state"))
+    ck = str(tmp_path_factory.mktemp("tr_ck"))
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    ev.filter(F.col("ts") <= F.lit(cut)).write.mode("append").parquet(land)
+    schema = spark.read.parquet(land).schema
+
+    def rows(df):
+        return sorted(
+            (r["prev"], r["next"], r["c"], str(r["p"])) for r in df.collect()
+        )
+
+    TR.incremental_transitions(spark, land, schema, state, ck)
+    wave1 = rows(TR.served_matrix(spark, state))
+    assert wave1
+
+    ev.filter(F.col("ts") > F.lit(cut)).write.mode("append").parquet(land)
+    TR.incremental_transitions(spark, land, schema, state, ck)
+    got = rows(TR.served_matrix(spark, state))
+
+    want = rows(event_transition_matrix(spark, sf))
+    assert got == want and got != wave1
+
+    # replay: no new files -> nothing changes
+    TR.incremental_transitions(spark, land, schema, state, ck)
+    assert rows(TR.served_matrix(spark, state)) == got
