@@ -519,3 +519,56 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev", "next", "c",
         F.round(F.col("c").cast("double") / F.sum("c").over(wp), 4).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# F2 extension: time-based RANGE window frame (interval preceding)
+# --------------------------------------------------------------------------
+@register(
+    "orders_range_frame_avg",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+           round(CAST(sum(cents) OVER w AS DOUBLE)
+                 / count(*) OVER w / 100, 4) AS avg_30d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day average order value per customer — a TIME-based
+    RANGE frame (all orders whose date falls in [current−30d, current]),
+    the event-time sibling of the row-count frame in
+    ``rolling_order_avg``. RANGE frames are set-based: equal order
+    dates share one frame, so the result is deterministic without a
+    tiebreak, unlike ROWS frames over ties.
+
+    One shuffle on o_custkey, one in-partition sort by date serves the
+    frame. Money averaged in integer CENTS (exact window sums; the
+    division is the same two doubles in both engines)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    win = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(f"count(*) OVER ({win})").cast("bigint").alias("n_in_window"),
+        F.round(
+            F.expr(f"CAST(sum(cents) OVER ({win}) AS DOUBLE)")
+            / F.expr(f"count(*) OVER ({win})")
+            / 100,
+            4,
+        ).alias("avg_30d"),
+    )

@@ -1,0 +1,121 @@
+"""Custom Python data SINK (Spark 4 ``pyspark.sql.datasource`` writer
+API) — the write-side twin of sources/pysource.py.
+
+``df.write.format("jsonlsink").option("path", dir).save()`` writes
+JSONL part files under a TWO-PHASE commit:
+
+- ``write(iterator)`` (executor, per task) streams rows to a uniquely
+  named staging file (``_staging/part-<uuid>.jsonl``) and returns a
+  commit message carrying the staging name + row count. A retried or
+  speculative task leaves an orphan staging file that no commit
+  message references.
+- ``commit(messages)`` (driver) renames ONLY the files named in commit
+  messages into the table root and writes ``_MANIFEST.json`` (file
+  list + per-file and total row counts) — readers that respect the
+  manifest never see uncommitted or orphaned data.
+- ``abort(messages)`` removes the staging directory: a failed job
+  leaves the destination without a manifest and with no visible part
+  files — write-never-happened semantics.
+
+This is the same stage-then-commit discipline as sources/snapshots.py,
+expressed through the DataSourceWriter protocol. Scale notes: one
+staging file per task (no driver data movement — the driver handles
+only renames and counts); on object stores swap the rename for a
+manifest-only commit (the file list IS the table, as in snapshots.py).
+Local/driver-shared filesystem is assumed here, as with every local
+sink in this repo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+MANIFEST = "_MANIFEST.json"
+STAGING = "_staging"
+
+
+@dataclasses.dataclass
+class JsonlCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        self.path = str(options["path"])
+
+    def write(self, iterator) -> JsonlCommit:
+        os.makedirs(os.path.join(self.path, STAGING), exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(self.path, STAGING, name)
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str, sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return JsonlCommit(staged=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        files = []
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.staged))
+            os.replace(m.staged, final)
+            files.append({"file": os.path.basename(m.staged), "rows": m.rows})
+        with open(os.path.join(self.path, MANIFEST), "w") as fh:
+            json.dump(
+                {"files": files, "total_rows": sum(f["rows"] for f in files)},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        self._clean_staging()
+
+    def abort(self, messages) -> None:
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        staging = os.path.join(self.path, STAGING)
+        if os.path.isdir(staging):
+            for f in os.listdir(staging):
+                try:
+                    os.remove(os.path.join(staging, f))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(staging)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", d).mode("append").save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_jsonlsink(spark) -> None:
+    """Idempotently register the sink on a session."""
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def read_manifest(path: str) -> dict:
+    """The committed file list — what a manifest-respecting reader
+    trusts (uncommitted/orphaned part files are invisible to it)."""
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)

@@ -100,3 +100,71 @@ def test_stream_source_equals_batch(spark, tmp_path):
         map(tuple, _read(spark, n_docs=250).collect())
     )
     assert got == want and len(got) == 250
+
+
+# --------------------------------------------------------------------------
+# Python data SINK (writer API, two-phase commit)
+# --------------------------------------------------------------------------
+def test_jsonl_sink_roundtrip_and_manifest(spark, tmp_path):
+    from mle_proj_datapipeline_spark.sources.pysink import (
+        read_manifest,
+        register_jsonlsink,
+    )
+
+    register_jsonlsink(spark)
+    dest = str(tmp_path / "out")
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id", "concat('doc-', id) AS name", "CAST(id * 1.5 AS DOUBLE) AS score"
+    )
+    df.write.format("jsonlsink").option("path", dest).mode("append").save()
+
+    man = read_manifest(dest)
+    assert man["total_rows"] == 100
+    assert sum(f["rows"] for f in man["files"]) == 100
+    # only committed part files + the manifest are visible; no staging
+    import os
+
+    names = sorted(os.listdir(dest))
+    assert "_staging" not in names
+    assert set(f["file"] for f in man["files"]) == {
+        n for n in names if n.endswith(".jsonl")
+    }
+
+    back = spark.read.json(dest + "/*.jsonl")
+    assert back.count() == 100
+    got = {(r["id"], r["name"], r["score"]) for r in back.collect()}
+    want = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+    assert got == want
+
+
+def test_jsonl_sink_failed_job_leaves_nothing_visible(spark, tmp_path):
+    """Abort path: a task failure during write must leave the
+    destination with no manifest and no committed part files —
+    write-never-happened semantics."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.utils import PythonException
+
+    from mle_proj_datapipeline_spark.sources.pysink import register_jsonlsink
+
+    register_jsonlsink(spark)
+    dest = str(tmp_path / "out_fail")
+
+    @F.udf("long")
+    def boom(x):
+        if x == 37:
+            raise ValueError("injected failure")
+        return x
+
+    df = spark.range(0, 100, 1, 4).select(boom("id").alias("id"))
+    try:
+        df.write.format("jsonlsink").option("path", dest).mode("append").save()
+        raise AssertionError("write should have failed")
+    except Exception as ex:  # Py4J wraps the executor error
+        assert "injected failure" in str(ex)
+
+    assert not os.path.exists(os.path.join(dest, "_MANIFEST.json"))
+    assert not [
+        n for n in (os.listdir(dest) if os.path.isdir(dest) else []) if n.endswith(".jsonl")
+    ]
