@@ -97,6 +97,8 @@ HEADLINE = [
     "asof_nearest_click",
     "event_transition_matrix",
     "target_encode_priority",
+    "bigram_lm_doc_scores",
+    "k_anonymity_report",
 ]
 
 
