@@ -762,3 +762,154 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift: per-dimension standardized mean difference by label
+# --------------------------------------------------------------------------
+@register(
+    "embedding_dim_drift",
+    oracle="""
+    WITH x AS (
+        SELECT label, CAST(i AS INTEGER) AS dim,
+               CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN range(0, 64) t(i)),
+    g AS (
+        SELECT label, dim, count(*) AS n,
+               sum(v) / count(*) AS m,
+               sum(v * v) / count(*) - (sum(v) / count(*)) ** 2 AS var
+        FROM x GROUP BY 1, 2),
+    a AS (
+        SELECT dim,
+               sum(n * m) / sum(n) AS gm,
+               sum(n * (var + m * m)) / sum(n)
+                   - (sum(n * m) / sum(n)) ** 2 AS gvar
+        FROM g GROUP BY 1)
+    SELECT g.label, g.dim,
+           round(g.m, 6) AS mean_v,
+           round(g.m - a.gm, 6) + 0 AS mean_shift,
+           round((g.m - a.gm) / sqrt(a.gvar), 4) + 0 AS smd
+    FROM g JOIN a USING (dim)
+    """,
+)
+def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift of each label's embedding distribution
+    against the global: mean shift and standardized mean difference
+    (SMD = (μ_label − μ_all)/σ_all) — the per-feature drift panel for
+    embedding spaces, where PSI-style binning is impractical at d=64+.
+
+    Variances come from explicit moment algebra (E[x²]−E[x]², and the
+    global from the label-level moments via the law of total variance)
+    rather than the engines' stddev kernels, so both sides compute the
+    SAME arithmetic. One explode pass → (label×dim)-sized frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    g = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("v") / F.count(F.lit(1))).alias("m"),
+        (
+            F.sum(F.col("v") * F.col("v")) / F.count(F.lit(1))
+            - (F.sum("v") / F.count(F.lit(1))) * (F.sum("v") / F.count(F.lit(1)))
+        ).alias("var"),
+    )
+    a = g.groupBy("dim").agg(
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        (
+            F.sum(F.col("n") * (F.col("var") + F.col("m") * F.col("m"))) / F.sum("n")
+            - (F.sum(F.col("n") * F.col("m")) / F.sum("n"))
+            * (F.sum(F.col("n") * F.col("m")) / F.sum("n"))
+        ).alias("gvar"),
+    )
+    return g.join(F.broadcast(a), "dim").select(
+        "label",
+        "dim",
+        F.round("m", 6).alias("mean_v"),
+        (F.round(F.col("m") - F.col("gm"), 6) + F.lit(0.0)).alias("mean_shift"),
+        (
+            F.round((F.col("m") - F.col("gm")) / F.sqrt("gvar"), 4) + F.lit(0.0)
+        ).alias("smd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Experimentation: CUPED variance-reduced A/B metrics
+# --------------------------------------------------------------------------
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "cuped_adjusted_metrics",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               sum(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0 END) AS y,
+               {_h31('CAST(user_id AS VARCHAR)')} % 2 AS grp
+        FROM events GROUP BY user_id),
+    m AS (
+        SELECT count(*) AS n,
+               sum(x) / count(*) AS mx, sum(y) / count(*) AS my,
+               sum(x * y) / count(*) - (sum(x) / count(*)) * (sum(y) / count(*)) AS cxy,
+               sum(x * x) / count(*) - (sum(x) / count(*)) ** 2 AS vx
+        FROM u),
+    adj AS (
+        SELECT u.grp, u.y, u.y - (m.cxy / m.vx) * (u.x - m.mx) AS ya FROM u CROSS JOIN m)
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(y) / count(*), 4) AS mean_y,
+           round(sum(ya) / count(*), 4) AS mean_y_cuped,
+           round(sum(y * y) / count(*) - (sum(y) / count(*)) ** 2, 2) AS var_y,
+           round(sum(ya * ya) / count(*) - (sum(ya) / count(*)) ** 2, 2) AS var_y_cuped
+    FROM adj GROUP BY grp
+    """,
+)
+def cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B metrics: per-user pre-period
+    value (x, before {split}) de-noises the experiment-period metric
+    (y) via ŷ = y − θ(x − x̄), θ = cov(x,y)/var(x) — the standard
+    experimentation-platform trick that shrinks metric variance
+    without biasing the mean. Groups come from the deterministic H31
+    user hash (the engine's reproducible randomization).
+
+    ONE scan: pre/post sums are conditional aggregates of the same
+    groupBy(user); θ and x̄ are a broadcast 1-row moment frame; all
+    variances use explicit moment algebra so both engines run the same
+    arithmetic. Output is 2 rows — variance columns visibly shrink
+    under CUPED while means are preserved."""
+    from mle_proj_datapipeline_spark.operators.dedup import h31
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
+    ).withColumn("grp", h31(F.col("user_id").cast("string")) % 2)
+    cnt = F.count(F.lit(1))
+    m = u.agg(
+        cnt.alias("n"),
+        (F.sum("x") / cnt).alias("mx"),
+        (F.sum(F.col("x") * F.col("y")) / cnt
+         - (F.sum("x") / cnt) * (F.sum("y") / cnt)).alias("cxy"),
+        (F.sum(F.col("x") * F.col("x")) / cnt
+         - (F.sum("x") / cnt) * (F.sum("x") / cnt)).alias("vx"),
+    )
+    adj = u.crossJoin(F.broadcast(m)).select(
+        "grp",
+        "y",
+        (F.col("y") - (F.col("cxy") / F.col("vx")) * (F.col("x") - F.col("mx"))).alias("ya"),
+    )
+    c = F.count(F.lit(1))
+    return adj.groupBy("grp").agg(
+        c.cast("bigint").alias("n_users"),
+        F.round(F.sum("y") / c, 4).alias("mean_y"),
+        F.round(F.sum("ya") / c, 4).alias("mean_y_cuped"),
+        F.round(
+            F.sum(F.col("y") * F.col("y")) / c - (F.sum("y") / c) * (F.sum("y") / c), 2
+        ).alias("var_y"),
+        F.round(
+            F.sum(F.col("ya") * F.col("ya")) / c - (F.sum("ya") / c) * (F.sum("ya") / c),
+            2,
+        ).alias("var_y_cuped"),
+    )
