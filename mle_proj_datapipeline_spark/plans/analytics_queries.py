@@ -449,29 +449,38 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean; a smoothed variant shrinks rare categories toward the global
     prior with m={m} pseudo-counts).
 
-    Plan shape: ONE scan, ONE hash exchange on the category (the
-    per-category sums are window aggregates; the global prior is an
-    unpartitioned window over the already-grouped data, not a second
-    scan or a crossJoin). Exact-integer sums → the division is the
-    same two doubles in both engines."""
+    Plan shape (scale-aware): a WINDOW over a 5-value category would
+    concentrate every row into ≤5 partitions, and an unpartitioned
+    window for the prior would concentrate them into ONE — so instead
+    the category stats come from a partial-aggregated groupBy (tiny
+    shuffle), the prior from an aggregate of that 5-row frame, and
+    both attach back to the row stream as BROADCAST joins (map-side,
+    no row shuffle at all). Two pruned scans of orders beat one
+    single-partition sort at any scale. Exact-integer sums → the
+    division is the same two doubles in both engines."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    wc = Window.partitionBy("o_orderpriority")
-    wg = Window.partitionBy()
-    s, n = F.sum("y").over(wc), F.count(F.lit(1)).over(wc)
-    gs, gn = F.sum("y").over(wg), F.count(F.lit(1)).over(wg)
-    loo = (s - F.col("y")).cast("double") / (n - 1)
-    prior = gs.cast("double") / gn
-    smooth = ((s - F.col("y")).cast("double") + _TE_PRIOR_M * prior) / (
-        (n - 1) + _TE_PRIOR_M
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    return o.select(
-        "o_orderkey",
-        F.round(loo, 6).alias("loo_te"),
-        F.round(smooth, 6).alias("loo_te_smooth"),
+    pri = g.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("prior")
+    )
+    loo = (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1)
+    smooth = (
+        (F.col("s") - F.col("y")).cast("double") + _TE_PRIOR_M * F.col("prior")
+    ) / ((F.col("n") - 1) + _TE_PRIOR_M)
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "o_orderkey",
+            F.round(loo, 6).alias("loo_te"),
+            F.round(smooth, 6).alias("loo_te_smooth"),
+        )
     )
 
 

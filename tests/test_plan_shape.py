@@ -381,3 +381,59 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _hash_exchanges(plan: str) -> int:
+    """Shuffle-exchange operator count in a formatted plan (broadcast
+    exchanges print as BroadcastExchange and are excluded)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_map_only_queries_have_no_shuffle(spark):
+    """pps_orders_sample and embedding_int8_quantize are declared
+    map-only (pure filter / pure array HOFs): any Exchange in their
+    plans is a regression."""
+    for q in ["pps_orders_sample", "embedding_int8_quantize"]:
+        plan = plan_of(spark, q)
+        assert "Exchange" not in plan, f"{q}: unexpected shuffle\n{plan}"
+
+
+def test_uniform_k_sample_is_take_ordered(spark):
+    """ORDER BY hash LIMIT k must plan as TakeOrderedAndProject
+    (per-partition top-k), never a global Sort."""
+    plan = plan_of(spark, "uniform_k_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_single_exchange_window_agg_queries(spark):
+    """mad_outlier_stats: the two window medians and the final groupBy
+    all ride ONE hash exchange on n_name (the nation dim arrives by
+    broadcast, which is not a shuffle)."""
+    plan = plan_of(spark, "mad_outlier_stats")
+    shuffles = _hash_exchanges(plan)
+    assert shuffles == 1, f"expected 1 hash exchange, saw {shuffles}\n{plan}"
+
+
+def test_target_encode_no_row_shuffle(spark):
+    """target_encode_priority: category stats and the prior must attach
+    by BROADCAST join — the row stream itself never shuffles (a window
+    over a 5-value category would concentrate rows into <=5 partitions;
+    an unpartitioned prior window into ONE)."""
+    plan = plan_of(spark, "target_encode_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    # the only hash exchanges allowed are the tiny category aggregations
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_orderkey" not in line, f"row stream shuffled:\n{plan}"
+
+
+def test_feature_hashing_single_aggregation_shuffle(spark):
+    """feature_hashing_doc_vectors: no vocabulary join — exactly one
+    hash exchange (the (doc,bucket) aggregation), no Join operator."""
+    plan = plan_of(spark, "feature_hashing_doc_vectors")
+    assert "Join" not in plan, plan
+    shuffles = _hash_exchanges(plan)
+    assert shuffles == 1, f"expected 1 hash exchange, saw {shuffles}\n{plan}"
