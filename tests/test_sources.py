@@ -196,3 +196,52 @@ def test_footer_stats_pushdown_and_parity(spark):
     with pytest.raises(ValueError, match="not pushed"):
         footer_stats(spark, path, min_cols=("o_orderdate",))
     assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before_v1
+
+
+def test_read_parquet_evolved_aligns_declared_schema(spark, tmp_path):
+    """Files from three schema generations (missing newer columns /
+    carrying dropped ones / type-widened) must all load into exactly
+    the declared schema: typed NULLs for absent columns, undeclared
+    columns dropped, casts applied."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mle_proj_datapipeline_spark.sources.readers import read_parquet_evolved
+
+    root = str(tmp_path / "evolved")
+    # v1: (a int, b string) — before column c existed
+    spark.createDataFrame([(1, "x"), (2, "y")], "a INT, b STRING").write.mode(
+        "append"
+    ).parquet(root)
+    # v2: (a int, b string, c double, legacy string) — c added, plus a
+    # column later dropped from the declared schema. (Per-file TYPE
+    # changes are NOT mergeable by parquet schema merge — widening to
+    # the declared LongType happens in the post-scan cast instead.)
+    spark.createDataFrame(
+        [(3, "z", 1.5, "old")], "a INT, b STRING, c DOUBLE, legacy STRING"
+    ).write.mode("append").parquet(root)
+
+    declared = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("c", DoubleType()),
+            StructField("d", StringType()),  # newest column: in no file yet
+        ]
+    )
+    got = read_parquet_evolved(spark, root, declared)
+    assert [f.name for f in got.schema.fields] == ["a", "b", "c", "d"]
+    assert dict((f.name, f.dataType) for f in got.schema.fields) == dict(
+        (f.name, f.dataType) for f in declared.fields
+    )
+    rows = {(r["a"], r["b"], r["c"], r["d"]) for r in got.collect()}
+    assert rows == {(1, "x", None, None), (2, "y", None, None), (3, "z", 1.5, None)}
+    # pruning survives evolution: selecting one column reads one column
+    plan = got.select("b")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<b:string>" in plan
