@@ -922,3 +922,112 @@ def cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("var_y_cuped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Survival analysis: Kaplan–Meier time-to-reorder with censoring
+# --------------------------------------------------------------------------
+_KM_HORIZON = "1998-08-02"  # TPC-H dataset end date: censoring horizon
+
+
+@register(
+    "km_reorder_survival",
+    oracle=f"""
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS nxt
+        FROM orders),
+    obs AS (
+        SELECT CASE WHEN nxt IS NULL
+                    THEN date_diff('day', o_orderdate, DATE '{_KM_HORIZON}')
+                    ELSE date_diff('day', o_orderdate, nxt) END AS t,
+               CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+        FROM seq),
+    grp AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) - sum(ev) AS BIGINT) AS c
+        FROM obs GROUP BY t),
+    risk AS (
+        SELECT t, d, c,
+               CAST((SELECT count(*) FROM obs) AS BIGINT)
+                 - CAST(coalesce(sum(d + c) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM grp),
+    km AS (
+        SELECT t, d, c, n_at_risk,
+               exp(sum(ln(greatest(1 - CAST(d AS DOUBLE) / n_at_risk, 1e-12)))
+                   OVER (ORDER BY t)) AS s
+        FROM risk)
+    SELECT t AS gap_days, d AS n_events, c AS n_censored, n_at_risk,
+           round(s, 4) + 0 AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimator of time-to-reorder: for every customer,
+    each inter-order gap is an EVENT and the tail after the last order
+    is CENSORED at the dataset horizon — the survival-analysis form of
+    churn/retention modeling (naive mean-gap stats are biased because
+    they silently drop the still-alive tails; KM is the standard
+    unbiased treatment of censoring).
+
+    Plan shape: one customer-keyed window (lead) builds observations,
+    then EVERYTHING downstream lives on the |distinct gaps|-sized
+    frame: at-risk counts and the survival curve are cumulative
+    windows over that small ordered spine, never over raw rows. The
+    cumulative product is exp∘Σln with the terminal factor clamped at
+    1e-12 (the last risk set can fail entirely → factor 0; survival
+    rounds to exactly 0 from there either way) — both engines fold the
+    same ordered spine, so parity holds at 4dp."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderdate", F.lead("o_orderdate").over(w).alias("nxt")
+    )
+    horizon = F.lit(_KM_HORIZON).cast("date")
+    obs = seq.select(
+        F.when(
+            F.col("nxt").isNull(), F.datediff(horizon, F.col("o_orderdate"))
+        )
+        .otherwise(F.datediff(F.col("nxt"), F.col("o_orderdate")))
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    grp = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c"),
+    )
+    total = grp.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    wt = Window.orderBy("t")
+    prior = F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(
+            wt.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    risk = grp.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk", (F.col("n_total") - prior).cast("bigint")
+    )
+    km = risk.withColumn(
+        "s",
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        1 - F.col("d").cast("double") / F.col("n_at_risk"),
+                        F.lit(1e-12),
+                    )
+                )
+            ).over(wt)
+        ),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("gap_days"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "n_at_risk",
+        (F.round("s", 4) + F.lit(0.0)).alias("survival"),
+    )
