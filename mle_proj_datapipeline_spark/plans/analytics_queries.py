@@ -1025,7 +1025,7 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return km.filter(F.col("d") > 0).select(
-        F.col("t").alias("gap_days"),
+        F.col("t").cast("bigint").alias("gap_days"),
         F.col("d").alias("n_events"),
         F.col("c").alias("n_censored"),
         "n_at_risk",
