@@ -27,7 +27,11 @@ import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.lifecycle_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.tpch_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.quality_queries  # noqa: F401
-import mle_proj_datapipeline_spark.plans.analytics_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.graph_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.sampling_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.stats_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.linalg_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.featurize_queries  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import QUERIES
 from mle_proj_datapipeline_spark.session import get_spark
 

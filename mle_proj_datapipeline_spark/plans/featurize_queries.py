@@ -1,0 +1,139 @@
+"""Text featurization: signed feature hashing, corpus-trained bigram LM scoring.
+
+Split from the round-5 analytics module so the per-file freshness
+clock tracks one family (the VERDICT r4 item-2 discipline): an edit
+here stales only this family's driver rows.
+
+Float parity follows the registry convention (rounding at fixed grids,
+integer-exact arithmetic wherever midpoints can land on rounding
+boundaries); determinism via total-order tiebreaks and the H31
+cross-engine hash."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mle_proj_datapipeline_spark.plans.llm_common import _h31  # noqa: F401
+from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Featurization: the hashing trick (signed feature hashing)
+# --------------------------------------------------------------------------
+_FH_BUCKETS = 16
+
+
+@register(
+    "feature_hashing_doc_vectors",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               {_h31('term')} % {_FH_BUCKETS} AS bucket,
+               CASE WHEN ({_h31('term')} // {_FH_BUCKETS}) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok)
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS val
+    FROM h GROUP BY 1, 2
+    """,
+)
+def feature_hashing_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: fixed-width signed-hash featurization of
+    documents — no vocabulary pass, no dictionary state, the
+    featurizer every streaming/distributed text classifier starts
+    with. bucket = H31(term) mod 16, sign = a second hash bit
+    (unbiases collisions, Weinberger et al.); sparse (doc, bucket,
+    value) triples out.
+
+    Scale: explode + ONE partial-aggregated shuffle keyed by
+    (doc, bucket) — no vocabulary join, unlike TF-IDF; width is a
+    constant, so output is ≤ docs × buckets regardless of vocabulary
+    growth. All-integer arithmetic, bit-identical cross-engine."""
+    from mle_proj_datapipeline_spark.operators.dedup import h31
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    h = h31(F.col("term"))
+    return (
+        tok.select(
+            "doc_id",
+            (h % _FH_BUCKETS).alias("bucket"),
+            F.when((F.floor(h / _FH_BUCKETS) % 2) == 0, 1).otherwise(-1).alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-trained bigram LM quality scoring (the real ppl-proxy)
+# --------------------------------------------------------------------------
+@register(
+    "bigram_lm_doc_scores",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+        SELECT u.term, count(*) AS c1
+        FROM (SELECT unnest(t) AS term FROM tok) u GROUP BY 1),
+    v AS (SELECT count(*) AS vsz FROM uni),
+    big AS (
+        SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+        FROM (SELECT doc_id, unnest(list_zip(t, t[2:])) AS z FROM tok) u
+        WHERE u.z[2] IS NOT NULL),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2)
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1.0) / (uni.c1 + v.vsz))), 4) AS avg_logprob
+    FROM big
+    JOIN c2 USING (w1, w2)
+    JOIN uni ON uni.term = big.w1
+    CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language model scoring each document —
+    the REAL form of the perplexity-proxy quality gate (CCNet/KenLM
+    style): train add-one-smoothed bigram probabilities on the corpus
+    itself, then score every doc by mean log P(w2|w1) =
+    ln((c(w1,w2)+1)/(c(w1)+|V|)). Low scorers are the gibberish/
+    boilerplate candidates.
+
+    Scale: ONE explode for unigram counts, ONE in-row zip for bigrams
+    (no positional self-join); the count tables are vocabulary-sized
+    and broadcast back onto the bigram stream; |V| rides along as a
+    broadcast scalar. Integer counts make the smoothed ratio the same
+    two doubles in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        tok.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vsz = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+    )
+    big = tok.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("term", "w1")), "w1")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))), 4
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1,6 +1,6 @@
 """Incremental Markov transition-matrix maintenance.
 
-Batch twin: plans/analytics_queries.event_transition_matrix
+Batch twin: plans/stats_queries.event_transition_matrix
 (oracle-gated). Pair counts merge by plain SUM, so per-batch partials
 commit idempotently like the CM sketch (streaming/sketch.py) — but
 unlike the sketch, transitions SPAN batch boundaries: the first event

@@ -525,7 +525,7 @@ def test_streaming_transitions_equal_batch(spark, tmp_path_factory):
     change nothing."""
     import pyspark.sql.functions as F
 
-    from mle_proj_datapipeline_spark.plans.analytics_queries import (
+    from mle_proj_datapipeline_spark.plans.stats_queries import (
         event_transition_matrix,
     )
     from mle_proj_datapipeline_spark.sources.catalog import load_table
