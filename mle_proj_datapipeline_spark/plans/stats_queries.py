@@ -486,3 +486,102 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         (F.round("s", 4) + F.lit(0.0)).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecasting: Holt's linear trend over the weekly revenue series
+# --------------------------------------------------------------------------
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+@register(
+    "holt_weekly_forecast",
+    oracle=f"""
+    WITH wkly AS (
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+               round(sum(o_totalprice), 2) AS y
+        FROM orders GROUP BY 1),
+    idx AS (
+        SELECT wk, y, row_number() OVER (ORDER BY wk) AS i FROM wkly),
+    n AS (SELECT max(i) AS n FROM idx),
+    rec AS (
+        WITH RECURSIVE h(i, l, b, fitted) AS (
+            SELECT 1, a.y,
+                   (SELECT y FROM idx WHERE i = 2) - a.y,
+                   CAST(NULL AS DOUBLE)
+            FROM idx a WHERE a.i = 1
+            UNION ALL
+            SELECT idx.i,
+                   {_HOLT_ALPHA} * idx.y + (1 - {_HOLT_ALPHA}) * (h.l + h.b),
+                   {_HOLT_BETA} * (({_HOLT_ALPHA} * idx.y
+                       + (1 - {_HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+                       + (1 - {_HOLT_BETA}) * h.b,
+                   h.l + h.b
+            FROM h JOIN idx ON idx.i = h.i + 1)
+        SELECT * FROM h)
+    SELECT idx.wk, idx.y,
+           round(rec.fitted, 2) AS fitted,
+           round(rec.l, 2) AS level,
+           round(rec.b, 2) AS trend
+    FROM rec JOIN idx USING (i) WHERE rec.fitted IS NOT NULL
+    """,
+)
+def holt_weekly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over weekly revenue —
+    REAL forecasting beside the Q6-style ``forecast_revenue`` scan:
+    level/trend recursions l_t = αy_t+(1−α)(l+b), b_t = β(l_t−l)+(1−β)b
+    with the standard init (l₁=y₁, b₁=y₂−y₁), reporting each week's
+    one-step-ahead fitted value l+b.
+
+    Plan shape: the heavy work is the distributed weekly aggregation;
+    the recursion then runs as ONE deterministic in-order fold
+    (aggregate HOF with a struct accumulator carrying level, trend,
+    and the fitted array) over the |weeks|-sized sorted series — the
+    customer_value_ewma discipline extended to coupled two-state
+    recursions. The oracle is a recursive CTE running the identical
+    arithmetic; weekly y is rounded to cents BEFORE the recursion so
+    both engines fold the same inputs."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd")
+    wkly = (
+        o.groupBy(wk.alias("wk"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    series = wkly.agg(
+        F.sort_array(F.collect_list(F.struct("wk", "y"))).alias("s")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    new_l = f"{a}D * x.y + {1 - a}D * (acc.l + acc.b)"
+    init = (
+        "named_struct("
+        "'l', CAST(s[0].y AS DOUBLE), "
+        "'b', CAST(s[1].y - s[0].y AS DOUBLE), "
+        "'steps', CAST(array() AS ARRAY<STRUCT<f: DOUBLE, l: DOUBLE, b: DOUBLE>>))"
+    )
+    step = (
+        f"(acc, x) -> named_struct("
+        f"'l', {new_l}, "
+        f"'b', {b}D * (({new_l}) - acc.l) + {1 - b}D * acc.b, "
+        f"'steps', array_append(acc.steps, named_struct("
+        f"'f', acc.l + acc.b, "
+        f"'l', {new_l}, "
+        f"'b', {b}D * (({new_l}) - acc.l) + {1 - b}D * acc.b)))"
+    )
+    folded = series.select(
+        F.col("s"),
+        F.expr(f"aggregate(slice(s, 2, size(s) - 1), {init}, {step}).steps").alias(
+            "steps"
+        ),
+    )
+    return folded.select(
+        F.posexplode(
+            F.expr("zip_with(slice(s, 2, size(s) - 1), steps, (r, st) -> struct(r.wk AS wk, r.y AS y, st.f AS f, st.l AS l, st.b AS b))")
+        ).alias("j", "z")
+    ).select(
+        F.col("z.wk").alias("wk"),
+        F.col("z.y").alias("y"),
+        F.round("z.f", 2).alias("fitted"),
+        F.round("z.l", 2).alias("level"),
+        F.round("z.b", 2).alias("trend"),
+    )
