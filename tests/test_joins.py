@@ -192,3 +192,69 @@ def test_asof_salted_plan_splits_hot_key(spark):
         .select("__salt").distinct().count()
     )
     assert buckets == n_salts
+
+
+def test_asof_fuzz_matches_pandas(spark):
+    """Randomized as-of parity: generated left/right tables across every
+    (direction, exact, tolerance) combination must match pandas
+    merge_asof. Deterministic seed-derived cases (no hypothesis Spark
+    fixture interplay): 8 table shapes x 12 parameter combos."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        keys = ["a", "b", "c"][: rng.randint(1, 3)]
+        left = [
+            (rng.choice(keys), rng.randint(0, 40), f"l{i}")
+            for i in range(rng.randint(1, 15))
+        ]
+        right = [
+            (rng.choice(keys), rng.randint(0, 40), f"r{i}")
+            for i in range(rng.randint(0, 15))
+        ]
+        # pandas merge_asof requires unique ordering within by-group on
+        # the right for deterministic payloads; dedupe (k, ts)
+        seen = set()
+        right = [
+            r for r in right if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+        ]
+        ldf = spark.createDataFrame(left, "k STRING, ts BIGINT, lval STRING")
+        rdf = spark.createDataFrame(right, "k STRING, ts BIGINT, payload STRING")
+        lp = pd.DataFrame(left, columns=["k", "ts", "lval"]).astype(
+            {"ts": "int64"}
+        ).sort_values("ts")
+        rp = pd.DataFrame(right, columns=["k", "ts", "payload"]).astype(
+            {"ts": "int64"}
+        ).sort_values("ts")
+        for direction in ["backward", "forward", "nearest"]:
+            for exact in [True, False]:
+                for tol in [None, 7]:
+                    got = {
+                        (r["k"], r["ts"], r["lval"]): r["payload"]
+                        for r in asof_join(
+                            ldf,
+                            rdf,
+                            on=["k"],
+                            left_ts="ts",
+                            right_ts="ts",
+                            direction=direction,
+                            allow_exact_matches=exact,
+                            tolerance_s=tol,
+                        ).collect()
+                    }
+                    out = pd.merge_asof(
+                        lp,
+                        rp,
+                        on="ts",
+                        by="k",
+                        direction=direction,
+                        allow_exact_matches=exact,
+                        tolerance=tol,
+                    )
+                    want = {
+                        (r.k, r.ts, r.lval): (
+                            None if pd.isna(r.payload) else r.payload
+                        )
+                        for r in out.itertuples()
+                    }
+                    assert got == want, (seed, direction, exact, tol)
