@@ -564,3 +564,54 @@ def test_streaming_transitions_equal_batch(spark, tmp_path_factory):
     # replay: no new files -> nothing changes
     TR.incremental_transitions(spark, land, schema, state, ck)
     assert rows(TR.served_matrix(spark, state)) == got
+
+
+def test_streaming_lm_counts_equal_batch(spark, tmp_path_factory):
+    """Streaming bigram-LM twin: documents in two waves through the
+    incremental count maintenance must yield a served model whose doc
+    scores EXACTLY equal the batch bigram_lm_doc_scores over the full
+    corpus, and replay with no new files must change nothing."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.plans.featurize_queries import (
+        bigram_lm_doc_scores,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.streaming import lm as LM
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    land = str(tmp_path_factory.mktemp("lm_land"))
+    state = str(tmp_path_factory.mktemp("lm_state"))
+    ck = str(tmp_path_factory.mktemp("lm_ck"))
+
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(land)
+    schema = spark.read.parquet(land).schema
+    LM.incremental_lm_counts(spark, land, schema, state, ck)
+    uni1, _ = LM.served_counts(spark, state)
+    n_terms_wave1 = uni1.count()
+
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(land)
+    LM.incremental_lm_counts(spark, land, schema, state, ck)
+    uni, big = LM.served_counts(spark, state)
+    assert uni.count() >= n_terms_wave1
+
+    got = sorted(
+        (r["doc_id"], r["n_bigrams"], str(r["avg_logprob"]))
+        for r in LM.score_docs(docs, uni, big).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_bigrams"], str(r["avg_logprob"]))
+        for r in bigram_lm_doc_scores(spark, sf).collect()
+    )
+    assert got == want and got
+
+    # replay: nothing changes
+    LM.incremental_lm_counts(spark, land, schema, state, ck)
+    uni2, big2 = LM.served_counts(spark, state)
+    got2 = sorted(
+        (r["doc_id"], r["n_bigrams"], str(r["avg_logprob"]))
+        for r in LM.score_docs(docs, uni2, big2).collect()
+    )
+    assert got2 == got
