@@ -38,3 +38,22 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert df.schema.fieldNames()
+
+
+def test_every_query_runs_at_smallest_sf(spark):
+    """Small-data robustness: every registered query must EXECUTE at
+    sf0.001 (50-500 rows/table) — percentile breakpoints over tiny
+    groups, empty LSH buckets, single-member clusters, and short
+    series are exactly where operators crash first. Row counts are
+    not asserted (that is the oracle's job at sf0.01); completing the
+    plan without error is."""
+    failures = []
+    qs = entrymod.queries()
+    for name in sorted(qs):
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:  # collect all, report together
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:200]}")
+    assert not failures, "\n".join(failures)
