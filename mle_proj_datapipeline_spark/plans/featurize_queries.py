@@ -137,3 +137,179 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus law: Zipf slope of the term-frequency distribution
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 1000
+
+
+@register(
+    "zipf_slope_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT u.term, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        GROUP BY 1),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term) AS DOUBLE)) AS lx,
+               ln(CAST(c AS DOUBLE)) AS ly
+        FROM tf
+        ORDER BY c DESC, term LIMIT {_ZIPF_TOP}),
+    m AS (
+        SELECT count(*) AS n,
+               sum(lx) / count(*) AS mx, sum(ly) / count(*) AS my,
+               sum(lx * ly) / count(*) - (sum(lx) / count(*)) * (sum(ly) / count(*)) AS cxy,
+               sum(lx * lx) / count(*) - (sum(lx) / count(*)) ** 2 AS vx,
+               sum(ly * ly) / count(*) - (sum(ly) / count(*)) ** 2 AS vy
+        FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(cxy / vx, 4) AS zipf_slope,
+           round(my - (cxy / vx) * mx, 4) AS intercept,
+           round((cxy * cxy) / (vx * vy), 4) AS r2
+    FROM m
+    """,
+)
+def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS slope of ln(freq) on ln(rank) for the top-{k} terms (natural
+    language sits near −1; a corpus drifting away from its usual slope
+    signals boilerplate floods or template spam — a cheap corpus-level
+    quality alarm beside the per-doc gates).
+
+    One explode → term counts (partial-agg shuffle), rank by a
+    total-order window over the vocabulary-sized relation, OLS by
+    explicit moment algebra on the {k}-row frame — both engines run
+    identical arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = (
+        tf.orderBy(F.desc("c"), "term")
+        .limit(_ZIPF_TOP)
+        .select(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.desc("c"), "term"))
+                .cast("double")
+            ).alias("lx"),
+            F.log(F.col("c").cast("double")).alias("ly"),
+        )
+    )
+    n = F.count(F.lit(1))
+    m = ranked.agg(
+        n.alias("n"),
+        (F.sum("lx") / n).alias("mx"),
+        (F.sum("ly") / n).alias("my"),
+        (F.sum(F.col("lx") * F.col("ly")) / n
+         - (F.sum("lx") / n) * (F.sum("ly") / n)).alias("cxy"),
+        (F.sum(F.col("lx") * F.col("lx")) / n
+         - (F.sum("lx") / n) * (F.sum("lx") / n)).alias("vx"),
+        (F.sum(F.col("ly") * F.col("ly")) / n
+         - (F.sum("ly") / n) * (F.sum("ly") / n)).alias("vy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(F.col("cxy") / F.col("vx"), 4).alias("zipf_slope"),
+        F.round(
+            F.col("my") - (F.col("cxy") / F.col("vx")) * F.col("mx"), 4
+        ).alias("intercept"),
+        F.round(
+            (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy")), 4
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus law: Heaps' vocabulary growth at document checkpoints
+# --------------------------------------------------------------------------
+_HEAPS_STEP = 50
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    first_seen AS (
+        SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+    doc_tokens AS (
+        SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+    ckpt AS (
+        SELECT DISTINCT ((doc_id // {_HEAPS_STEP}) + 1)
+                        * {_HEAPS_STEP} AS ck
+        FROM documents)
+    SELECT ck AS docs_seen,
+           (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT)
+            FROM doc_tokens WHERE doc_id < ck) AS tokens_seen,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM first_seen WHERE fd < ck) AS vocab_size
+    FROM ckpt
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: vocabulary size vs corpus size at every
+    {step}-document checkpoint — the sub-linear vocab growth a healthy
+    natural corpus shows (V ≈ K·Nᵝ, β≈0.5); a kink flags a domain
+    shift or machine-generated flood at that point in the ingest
+    order.
+
+    First-occurrence doc per term comes from ONE groupBy (min doc_id)
+    over the exploded stream; checkpoint roll-ups are cumulative sums
+    over the checkpoint spine joined against vocabulary-sized frames —
+    never a per-checkpoint rescan of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    first_seen = tok.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    doc_tokens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ck = (
+        docs.select(
+            ((F.floor(F.col("doc_id") / _HEAPS_STEP) + 1) * _HEAPS_STEP)
+            .cast("bigint")
+            .alias("ck")
+        )
+        .distinct()
+    )
+    tok_part = (
+        doc_tokens.select(
+            ((F.floor(F.col("doc_id") / _HEAPS_STEP) + 1) * _HEAPS_STEP)
+            .cast("bigint")
+            .alias("b"),
+            "nt",
+        )
+        .groupBy("b")
+        .agg(F.sum("nt").alias("bt"))
+    )
+    voc_part = (
+        first_seen.select(
+            ((F.floor(F.col("fd") / _HEAPS_STEP) + 1) * _HEAPS_STEP)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("bv"))
+    )
+    # Cumulate ON the checkpoint spine (a bucket with no new terms or no
+    # docs would otherwise leave a hole in a per-bucket running sum).
+    w = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ck.join(tok_part, ck.ck == tok_part.b, "left")
+        .drop("b")
+        .join(voc_part, ck.ck == voc_part.b, "left")
+        .drop("b")
+        .select(
+            "ck",
+            F.sum(F.coalesce("bt", F.lit(0))).over(w).cast("bigint").alias("cum_t"),
+            F.sum(F.coalesce("bv", F.lit(0))).over(w).cast("bigint").alias("cum_v"),
+        )
+        .select(
+            F.col("ck").alias("docs_seen"),
+            F.col("cum_t").alias("tokens_seen"),
+            F.col("cum_v").alias("vocab_size"),
+        )
+    )
