@@ -34,6 +34,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    validate: bool = True,
 ) -> DataFrame:
     """Synchronous power-iteration PageRank over a directed edge list.
 
@@ -43,6 +44,14 @@ def pagerank(
     dangling nodes, so rank mass is conserved exactly. For graphs with
     sinks, symmetrize or add self-loops first (documented contract —
     keeps the inner loop free of the dangling-mass broadcast).
+
+    The contract is ENFORCED, not just documented (ADVICE r5): a plain
+    directed edge list with destination-only nodes would silently get
+    non-conserving, incomplete ranks, so by default a cheap anti-join
+    guard (one count over the ≤|V| distinct-dst frame) raises
+    ValueError when dst ⊄ src. Pass ``validate=False`` only when the
+    caller construction guarantees symmetry (e.g. an in-row pair
+    fan-out that emits both directions).
 
     Deterministic: fixed iteration count, no RNG; float noise is
     confined to sum order inside each groupBy (~1 ulp/round), so
@@ -56,6 +65,22 @@ def pagerank(
     # (src, dst, deg) triples computed once; checkpoint truncates lineage.
     ed = e.join(deg, "src").localCheckpoint()
     nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    if validate:
+        # Anti-join over the CHECKPOINTED frames — the guard never
+        # re-executes the caller's edge-build subtree.
+        n_dangling = (
+            ed.select(F.col("dst").alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_anti")
+            .count()
+        )
+        if n_dangling:
+            raise ValueError(
+                f"pagerank: {n_dangling} destination-only (dangling) node(s) — "
+                "rank mass would leak and those nodes would get no rank row. "
+                "Symmetrize the edge list or add self-loops first "
+                "(validate=False skips this check for caller-guaranteed graphs)."
+            )
     n = nodes.count()
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("r", F.lit(1.0 / n))

@@ -12,7 +12,10 @@ JSONL part files under a TWO-PHASE commit:
 - ``commit(messages)`` (driver) renames ONLY the files named in commit
   messages into the table root and writes ``_MANIFEST.json`` (file
   list + per-file and total row counts) — readers that respect the
-  manifest never see uncommitted or orphaned data.
+  manifest never see uncommitted or orphaned data. Save modes are
+  honored at the manifest level: ``append`` merges the prior
+  manifest's file list, ``overwrite`` deletes the prior manifest's
+  part files before publishing the new list.
 - ``abort(messages)`` removes the staging directory: a failed job
   leaves the destination without a manifest and with no visible part
   files — write-never-happened semantics.
@@ -51,8 +54,9 @@ class JsonlCommit(WriterCommitMessage):
 
 
 class JsonlSinkWriter(DataSourceWriter):
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool) -> None:
         self.path = str(options["path"])
+        self.overwrite = bool(overwrite)
 
     def write(self, iterator) -> JsonlCommit:
         os.makedirs(os.path.join(self.path, STAGING), exist_ok=True)
@@ -67,12 +71,34 @@ class JsonlSinkWriter(DataSourceWriter):
         return JsonlCommit(staged=staged, rows=n)
 
     def commit(self, messages) -> None:
+        """Honor the save mode (ADVICE r5): ``append`` MERGES the prior
+        manifest's file list so earlier commits stay visible to
+        manifest-respecting readers; ``overwrite`` DELETES the prior
+        manifest's part files so no stale data sits beside the new
+        table. Either way the manifest swap is the atomic commit
+        point."""
+        manifest_path = os.path.join(self.path, MANIFEST)
+        prior: list[dict] = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh).get("files", [])
         files = []
         for m in messages:
             final = os.path.join(self.path, os.path.basename(m.staged))
             os.replace(m.staged, final)
             files.append({"file": os.path.basename(m.staged), "rows": m.rows})
-        with open(os.path.join(self.path, MANIFEST), "w") as fh:
+        new_names = {f["file"] for f in files}
+        if self.overwrite:
+            for f in prior:
+                if f["file"] not in new_names:
+                    try:
+                        os.remove(os.path.join(self.path, f["file"]))
+                    except OSError:
+                        pass
+        else:
+            files = [f for f in prior if f["file"] not in new_names] + files
+        files.sort(key=lambda f: f["file"])
+        with open(manifest_path, "w") as fh:
             json.dump(
                 {"files": files, "total_rows": sum(f["rows"] for f in files)},
                 fh,
@@ -106,7 +132,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonlsink"
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlSinkWriter:
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite)
 
 
 def register_jsonlsink(spark) -> None:

@@ -101,7 +101,16 @@ def served_counts(spark: SparkSession, state_root: str) -> tuple[DataFrame, Data
 def score_docs(docs: DataFrame, uni: DataFrame, big: DataFrame) -> DataFrame:
     """Score documents against the maintained model — identical
     arithmetic to the batch query (add-one-smoothed mean log
-    P(w2|w1)); counts broadcast, bigrams zipped in-row."""
+    P(w2|w1)); counts broadcast, bigrams zipped in-row.
+
+    Out-of-corpus documents are first-class (ADVICE r5): bigrams and
+    predecessors unseen in the counts LEFT-join to zero, so add-one
+    smoothing applies uniformly — an unseen pair scores
+    ln((0+1)/(c1+|V|)), an unseen predecessor ln(1/(0+|V|)) — and
+    ``n_bigrams`` counts every bigram in the document, not just the
+    ones the model has seen. On the training corpus itself every
+    bigram is present, so this is bit-identical to the oracle-gated
+    batch query (inner == left there)."""
     tok = _tok(docs)
     vsz = uni.agg(F.count(F.lit(1)).alias("vsz"))
     pairs = F.arrays_zip(
@@ -112,14 +121,20 @@ def score_docs(docs: DataFrame, uni: DataFrame, big: DataFrame) -> DataFrame:
         "doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
     )
     return (
-        b.join(F.broadcast(big), ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("term", "w1")), "w1")
+        b.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w1")), "w1", "left")
         .crossJoin(F.broadcast(vsz))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.round(
-                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))), 4
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz"))
+                    )
+                ),
+                4,
             ).alias("avg_logprob"),
         )
     )

@@ -39,11 +39,22 @@ from mle_proj_datapipeline_spark.streaming.weekly import file_stream
 
 
 def _latest_snapshot(spark: SparkSession, last_dir: str, before: int) -> DataFrame | None:
-    """Newest full last-event snapshot with batch_id < ``before``."""
-    try:
-        snaps = spark.read.parquet(last_dir)
-    except Exception:  # first batch: no state yet
-        return None
+    """Newest full last-event snapshot with batch_id < ``before``.
+
+    Only a genuinely ABSENT state directory (no committed batch_id=*
+    partition) means "first batch". Any read error on existing state —
+    corrupt footer, permission, transient IO — must PROPAGATE so the
+    streaming batch fails and replays: swallowing it would silently
+    drop every cross-boundary pair AND rewrite the last-event snapshot
+    from only this batch's users, permanently corrupting future counts
+    (ADVICE r5)."""
+    import os
+
+    if not os.path.isdir(last_dir) or not any(
+        n.startswith("batch_id=") for n in os.listdir(last_dir)
+    ):
+        return None  # first batch: no state committed yet
+    snaps = spark.read.parquet(last_dir)
     ids = [r["batch_id"] for r in snaps.select("batch_id").distinct().collect()]
     prior = [i for i in ids if i < before]
     if not prior:

@@ -509,3 +509,19 @@ def test_pca_power_consistent_on_real_embeddings(spark):
     # both quotients obey the Rayleigh bound λ ≤ λ_max
     assert eig_got <= w[-1] * (1 + 1e-9)
     assert rayleigh <= w[-1] * (1 + 1e-9)
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    """A plain directed edge list with a destination-only node must
+    fail LOUDLY (ValueError) instead of quietly leaking rank mass and
+    omitting the node (ADVICE r5); validate=False keeps the documented
+    caller-guaranteed escape hatch."""
+    import pytest
+
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+
+    dangling = spark.createDataFrame([(0, 1), (1, 2)], "src INT, dst INT")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(dangling, iterations=2)
+    # escape hatch still runs (documented contract: caller owns the risk)
+    assert pagerank(dangling, iterations=1, validate=False).count() == 2

@@ -168,3 +168,58 @@ def test_jsonl_sink_failed_job_leaves_nothing_visible(spark, tmp_path):
     assert not [
         n for n in (os.listdir(dest) if os.path.isdir(dest) else []) if n.endswith(".jsonl")
     ]
+
+
+def test_jsonl_sink_append_merges_manifest(spark, tmp_path):
+    """A second .mode('append').save() must MERGE the prior manifest's
+    file list — earlier committed part files stay visible to
+    manifest-respecting readers (ADVICE r5)."""
+    from mle_proj_datapipeline_spark.sources.pysink import (
+        read_manifest,
+        register_jsonlsink,
+    )
+
+    register_jsonlsink(spark)
+    dest = str(tmp_path / "out_append2")
+    spark.range(0, 40, 1, 2).write.format("jsonlsink").option(
+        "path", dest
+    ).mode("append").save()
+    first = read_manifest(dest)
+    spark.range(40, 100, 1, 2).write.format("jsonlsink").option(
+        "path", dest
+    ).mode("append").save()
+
+    man = read_manifest(dest)
+    assert man["total_rows"] == 100
+    assert {f["file"] for f in first["files"]} <= {f["file"] for f in man["files"]}
+    back = spark.read.json(dest + "/*.jsonl")
+    assert back.count() == 100
+    assert back.agg(F.min("id"), F.max("id")).collect()[0][0:2] == (0, 99)
+
+
+def test_jsonl_sink_overwrite_removes_prior_files(spark, tmp_path):
+    """.mode('overwrite') must delete the previously committed part
+    files — no stale data beside the new table (ADVICE r5)."""
+    import os
+
+    from mle_proj_datapipeline_spark.sources.pysink import (
+        read_manifest,
+        register_jsonlsink,
+    )
+
+    register_jsonlsink(spark)
+    dest = str(tmp_path / "out_over")
+    spark.range(0, 40, 1, 2).write.format("jsonlsink").option(
+        "path", dest
+    ).mode("append").save()
+    old_files = {f["file"] for f in read_manifest(dest)["files"]}
+    spark.range(1000, 1010, 1, 2).write.format("jsonlsink").option(
+        "path", dest
+    ).mode("overwrite").save()
+
+    man = read_manifest(dest)
+    assert man["total_rows"] == 10
+    on_disk = {n for n in os.listdir(dest) if n.endswith(".jsonl")}
+    assert on_disk == {f["file"] for f in man["files"]}
+    assert not (old_files & on_disk)
+    assert spark.read.json(dest + "/*.jsonl").agg(F.min("id")).collect()[0][0] == 1000
