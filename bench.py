@@ -23,7 +23,10 @@ import mle_proj_datapipeline_spark.plans.llm_ann_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.llm_text_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.llm_corpus_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.feature_queries  # noqa: F401
-import mle_proj_datapipeline_spark.plans.extension_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.rollup_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.profile_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.series_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.matching_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.lifecycle_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.tpch_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.quality_queries  # noqa: F401

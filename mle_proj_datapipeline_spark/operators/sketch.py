@@ -4,7 +4,7 @@ The sketch is a (j, bucket, cell_n) frame of d×w cells over the
 cross-engine H31 hash family (operators/dedup.h31) — not opaque bits, so
 it hash-verifies against a SQL oracle, merges by plain SUM (map-side
 combinable, batch or streaming), and point estimates are a broadcast
-join + MIN. Used by plans/extension_queries.cm_sketch_heavy_hitters
+join + MIN. Used by plans/rollup_queries.cm_sketch_heavy_hitters
 (batch, oracle-gated) and streaming/sketch.py (incremental maintenance).
 
 At 100 TB: raw rows collapse to per-key counts first (one partial-agg

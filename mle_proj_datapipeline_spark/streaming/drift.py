@@ -3,7 +3,7 @@ foreachBatch job against PINNED baseline breakpoints.
 
 The reference runs drift as a weekly Airflow task over the full history
 (dags/dag.py:77, utils/model_operations.py:161-179 compute one PSI pair
-per run). The batch twin here is plans/extension_queries.weekly_psi_drift
+per run). The batch twin here is plans/profile_queries.weekly_psi_drift
 (whole trajectory, one job). This module is the production monitoring
 shape for arriving data: breakpoints are fixed ONCE from the baseline
 (training) week, and each micro-batch of new orders only buckets its own
@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from mle_proj_datapipeline_spark.plans.extension_queries import PSI_EPS, PSI_QS
+from mle_proj_datapipeline_spark.plans.profile_queries import PSI_EPS, PSI_QS
 from mle_proj_datapipeline_spark.streaming.weekly import file_stream
 
 

@@ -1,6 +1,6 @@
 """Incremental Count-Min sketch maintenance.
 
-The batch twin is plans/extension_queries.cm_sketch_heavy_hitters
+The batch twin is plans/rollup_queries.cm_sketch_heavy_hitters
 (oracle-gated); the sketch core is operators/sketch.py. Because cells
 merge by plain SUM, the streaming form is just: each micro-batch commits
 its own partial cells under a batch_id partition (idempotent on replay —

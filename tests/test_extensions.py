@@ -24,12 +24,12 @@ def test_approx_count_distinct_within_rsd(spark):
 def test_hash_sample_is_stable_under_repartition(spark):
     """Content-hash sampling must select the same rows regardless of
     physical layout (the property seeded df.sample lacks)."""
-    from mle_proj_datapipeline_spark.plans.extension_queries import orders_hash_sample
+    from mle_proj_datapipeline_spark.plans.matching_queries import orders_hash_sample
 
     a = {r["o_orderkey"] for r in orders_hash_sample(spark, SF_ORACLE).collect()}
     o = load_table(spark, SF_ORACLE, "orders").repartition(7)
     from mle_proj_datapipeline_spark.operators.dedup import h31
-    from mle_proj_datapipeline_spark.plans.extension_queries import _RATES
+    from mle_proj_datapipeline_spark.plans.matching_queries import _RATES
 
     rate = F.lit(0)
     for k, v in _RATES.items():
@@ -146,7 +146,7 @@ def test_approx_cardinalities_within_rsd(spark):
     re-derived here and checked at ~3x rsd directly)."""
     import pyspark.sql.functions as F
 
-    from mle_proj_datapipeline_spark.plans.extension_queries import (
+    from mle_proj_datapipeline_spark.plans.rollup_queries import (
         approx_order_cardinalities,
         order_cardinalities,
     )

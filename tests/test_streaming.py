@@ -361,7 +361,7 @@ def test_streaming_psi_equals_batch(spark, tmp_path_factory):
     EXACTLY the batch weekly_psi_drift trajectory — same pinned baseline
     breakpoints, same fold — and a replayed pass with no new files must
     not change the panel (idempotent batch commits)."""
-    from mle_proj_datapipeline_spark.plans.extension_queries import weekly_psi_drift
+    from mle_proj_datapipeline_spark.plans.profile_queries import weekly_psi_drift
     from mle_proj_datapipeline_spark.sources.catalog import load_table
     from mle_proj_datapipeline_spark.streaming import drift as D
 
@@ -462,7 +462,7 @@ def test_streaming_cm_sketch_equals_batch(spark, tmp_path_factory):
     import pyspark.sql.functions as F
 
     from mle_proj_datapipeline_spark.operators import sketch as SK
-    from mle_proj_datapipeline_spark.plans.extension_queries import (
+    from mle_proj_datapipeline_spark.plans.rollup_queries import (
         cm_sketch_heavy_hitters,
     )
     from mle_proj_datapipeline_spark.sources.catalog import load_table
