@@ -189,3 +189,53 @@ def test_quality_keep_agrees_with_repetition_query(spark):
         .collect()
     }
     assert stream_style == batch
+
+
+def test_covariance_gramian_matches_explode_and_dispatch(spark):
+    """The two physical covariance strategies (d² JVM explode vs
+    per-partition NumPy Gramian over mapInPandas) must produce the same
+    matrix on the same data, and the auto dispatch must select the
+    Gramian arm above GRAMIAN_DIM_THRESHOLD (VERDICT r5 item 4)."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.linalg import (
+        GRAMIAN_DIM_THRESHOLD,
+        covariance,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(5)
+    a = {
+        (r["i"], r["j"]): r["c"]
+        for r in covariance(emb, "embedding", dim=64, method="explode").collect()
+    }
+    b = {
+        (r["i"], r["j"]): r["c"]
+        for r in covariance(emb, "embedding", dim=64, method="gramian").collect()
+    }
+    assert set(a) == set(b) and len(a) == 64 * 64
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+    # symmetry of the mirrored Gramian output
+    assert all(abs(b[(i, j)] - b[(j, i)]) < 1e-15 for (i, j) in b)
+
+    # upper_only halves the frame and matches the full matrix
+    up = {
+        (r["i"], r["j"]): r["c"]
+        for r in covariance(
+            emb, "embedding", dim=64, method="gramian", upper_only=True
+        ).collect()
+    }
+    assert set(up) == {k for k in b if k[0] <= k[1]}
+
+    # dispatch: above the threshold the plan crosses the Arrow boundary
+    big_d = GRAMIAN_DIM_THRESHOLD + 1
+    fake = spark.range(20).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(big_d)),
+            lambda i: (F.col("id") + i).cast("double") % 7,
+        ).alias("v")
+    )
+    auto_plan = covariance(fake, "v", dim=big_d)._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" in auto_plan
+    small_plan = covariance(fake, "v", dim=64)._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in small_plan and "Generate" in small_plan
