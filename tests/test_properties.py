@@ -405,6 +405,102 @@ def test_bpe_stream_invariant_roundtrip(spark):
     assert sorted(r["flat"] for r in rows) == ["banana", "banana_band"]
 
 
+def _bpe_sequential_reference(texts: list[str], n_merges: int, max_chars: int = 64):
+    """Pure-Python sequential BPE over token lists: recount adjacent
+    pairs after EVERY merge, deterministic argmax (count DESC, left,
+    right), greedy left-to-right non-overlapping rewrite. The ground
+    truth select_merge_batch must reproduce."""
+    from collections import Counter
+
+    streams = [
+        list(t[:max_chars].lower().replace("|", "").replace(" ", "_"))
+        for t in texts
+    ]
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = Counter()
+        for s in streams:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, c))
+        nxt = []
+        for s in streams:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        streams = nxt
+    return merges
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef |", min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_batched_matches_sequential_reference(spark, texts, n_merges):
+    """Merge-table parity for the batched learner (VERDICT r5 item 5):
+    bpe_learn(batch=8) must be BIT-IDENTICAL to the recount-per-step
+    sequential reference — the batch selection rule only groups merges
+    it can prove sequential would pick in the same order. Adversarial
+    alphabet: tiny, repetitive, tie-heavy corpora where dirty-pair and
+    self-pair (l==r) hazards actually fire."""
+    from mle_proj_datapipeline_spark.operators.bpe import bpe_learn
+
+    want = _bpe_sequential_reference(texts, n_merges)
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [
+        tuple(r)
+        for r in bpe_learn(docs, "text", n_merges=n_merges, batch=8)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_bpe_batch_selection_hazards():
+    """select_merge_batch unit semantics on hand-built tables: ties at
+    the stop count are trimmed, self-pairs close the batch behind
+    themselves, prior-compound collisions close the batch, and the
+    top-1 selection always survives."""
+    from mle_proj_datapipeline_spark.operators.bpe import select_merge_batch
+
+    # disjoint + strictly above the dirty stop row -> batched together
+    ranked = [("a", "b", 9), ("c", "d", 7), ("a", "x", 6), ("e", "f", 5)]
+    assert select_merge_batch(ranked, 8, set(), False) == [
+        ("a", "b", 9),
+        ("c", "d", 7),
+    ]
+    # tie at c_stop: (c,d) ties the dirty (a,x) row -> trimmed
+    ranked = [("a", "b", 9), ("c", "d", 6), ("a", "x", 6)]
+    assert select_merge_batch(ranked, 8, set(), False) == [("a", "b", 9)]
+    # self-pair closes the batch behind itself
+    ranked = [("e", "e", 9), ("c", "d", 7)]
+    assert select_merge_batch(ranked, 8, set(), False) == [("e", "e", 9)]
+    # compound colliding with an existing token closes the batch
+    ranked = [("a", "b", 9), ("c", "d", 7)]
+    assert select_merge_batch(ranked, 8, {"ab"}, False) == [("a", "b", 9)]
+    # truncated table: last row's count is the floor for hidden pairs
+    ranked = [("a", "b", 9), ("c", "d", 7), ("e", "f", 7)]
+    assert select_merge_batch(ranked, 8, set(), True) == [
+        ("a", "b", 9)
+    ]  # 7 <= c_stop(=7, truncation floor) trims both
+
+
 def test_pagerank_uniform_on_cycle_and_mass_conserved(spark):
     """On a directed cycle every node has in/out degree 1, so PageRank's
     stationary distribution is exactly uniform at every iteration; total
