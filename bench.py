@@ -106,6 +106,8 @@ HEADLINE = [
     "target_encode_priority",
     "bigram_lm_doc_scores",
     "k_anonymity_report",
+    "bigram_lm_scores_served",
+    "cm_heavy_hitters_served",
 ]
 
 

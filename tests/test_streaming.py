@@ -682,3 +682,43 @@ def test_lm_scores_out_of_corpus_docs_with_smoothing(spark, tmp_path_factory):
     want = (math.log(3.0 / 5.0) + math.log(1.0 / 6.0)) / 2
     assert row2["n_bigrams"] == 2
     assert abs(row2["avg_logprob"] - round(want, 4)) < 1e-4
+
+
+def test_served_queries_pin_state_and_rebuild_on_source_change(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The serve-path queries (plans/served_queries.py) must build their
+    streaming state ONCE per corpus fingerprint: a second call serves
+    from the committed state without touching the maintenance stream,
+    and a corrupt/mismatched meta triggers a full rebuild (state + file
+    log wiped together)."""
+    import json
+    import os
+
+    from mle_proj_datapipeline_spark.plans import served_queries as SQ
+
+    wh = str(tmp_path_factory.mktemp("served_wh"))
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", wh)
+    sf = "/root/testdata/sf0.001"
+
+    calls = []
+
+    def run_pass(src, schema, state, ck):
+        calls.append(src)
+        from mle_proj_datapipeline_spark.streaming import lm as LM
+
+        LM.incremental_lm_counts(spark, src, schema, state, ck)
+
+    s1 = SQ._ensure_stream_state(spark, sf, "documents", "lm_counts", run_pass)
+    assert len(calls) == 1 and os.path.isdir(s1)
+    # fresh fingerprint: second call is a pure serve, no stream run
+    s2 = SQ._ensure_stream_state(spark, sf, "documents", "lm_counts", run_pass)
+    assert s2 == s1 and len(calls) == 1
+    # corrupt meta == unknown provenance -> rebuild from scratch
+    meta = os.path.join(os.path.dirname(s1), "meta.json")
+    with open(meta, "w") as f:
+        json.dump({"source": "stale"}, f)
+    SQ._ensure_stream_state(spark, sf, "documents", "lm_counts", run_pass)
+    assert len(calls) == 2
+    with open(meta) as f:
+        assert json.load(f)["source"] != "stale"
