@@ -55,3 +55,27 @@ def test_no_query_scales_superlinearly(report):
         "look for unbounded candidate generation or a lost broadcast"
     )
     assert not any(q["flagged"] for q in report["queries"].values())
+
+
+def test_fitted_growth_exponents_stay_subquadratic(report):
+    """3-point fit gate (VERDICT r5 item 8): the least-squares exponent
+    of t ≈ a·n^b over sf0.001/0.01/0.1 must stay ≤ exp_limit for every
+    query whose top-SF time is above the noise floor. The fit
+    UNDERestimates asymptotic growth (fixed overheads flatten the
+    small-SF end), so an exponent past ~1.3 is real superlinearity that
+    a two-point ratio near overhead dominance can hide."""
+    limit = report["exp_limit"]
+    floor = report["noise_floor_s"]
+    offenders = {
+        n: q["exponent"]
+        for n, q in report["queries"].items()
+        if q["exponent"] is not None
+        and q["t_hi"] >= floor
+        and q["exponent"] > limit
+    }
+    assert not offenders, (
+        f"fitted growth exponent > {limit}: {offenders} — superlinear in n, "
+        "check candidate generation / per-key fan-out / lost partial agg"
+    )
+    # three points recorded per query — the fit is real, not a 2-point slope
+    assert all(len(q["t_by_sf"]) == 3 for q in report["queries"].values())
