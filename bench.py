@@ -35,6 +35,7 @@ import mle_proj_datapipeline_spark.plans.sampling_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.stats_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.linalg_queries  # noqa: F401
 import mle_proj_datapipeline_spark.plans.featurize_queries  # noqa: F401
+import mle_proj_datapipeline_spark.plans.served_queries  # noqa: F401
 from mle_proj_datapipeline_spark.plans.registry import QUERIES
 from mle_proj_datapipeline_spark.session import get_spark
 
