@@ -80,6 +80,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     validate: bool = True,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """Synchronous power-iteration PageRank over a directed edge list.
 
@@ -101,15 +102,34 @@ def pagerank(
     Deterministic: fixed iteration count, no RNG; float noise is
     confined to sum order inside each groupBy (~1 ulp/round), so
     callers round displayed ranks per the registry convention.
+
+    Physical strategy: every node-keyed frame (deg, ranks, contribs)
+    is |V| rows, tiny next to the |E|-row edge list — but checkpointed
+    frames carry no size stats, so Catalyst cannot discover that and
+    would sort-merge-shuffle the EDGES every round. When |V| ≤
+    ``broadcast_nodes_max`` (known exactly before the loop — one
+    count), the rank vector is broadcast-hinted into every join and the
+    edge list is never reshuffled after its one materialization: each
+    iteration is a map-side hash join + ONE partial-aggregated shuffle
+    of per-node contributions. Above the threshold (a graph whose rank
+    vector doesn't fit an executor) the joins degrade to plain shuffle
+    joins — correctness is identical, only the hint changes.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
     )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
+    small = n <= broadcast_nodes_max
+
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) triples computed once; checkpoint truncates lineage.
-    ed = e.join(deg, "src").localCheckpoint()
-    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ed = e.join(hint(deg), "src").localCheckpoint()
     if validate:
         # Anti-join over the CHECKPOINTED frames — the guard never
         # re-executes the caller's edge-build subtree.
@@ -126,18 +146,19 @@ def pagerank(
                 "Symmetrize the edge list or add self-loops first "
                 "(validate=False skips this check for caller-guaranteed graphs)."
             )
-    n = nodes.count()
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
-            ed.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            ed.join(hint(ranks.select(F.col("node").alias("src"), "r")), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
         )
         ranks = (
             nodes.join(
-                contribs.select(F.col("dst").alias("node"), "m"), "node", "left"
+                hint(contribs.select(F.col("dst").alias("node"), "m")),
+                "node",
+                "left",
             )
             .select(
                 "node",
