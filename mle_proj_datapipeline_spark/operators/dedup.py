@@ -402,6 +402,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list by min-label
     propagation: every node repeatedly takes the smallest component id
@@ -435,15 +436,29 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # Label/min frames are node-sized; checkpointed frames carry no
+    # size stats, so without a hint Catalyst reshuffles the EDGE list
+    # against them every round. One |V| count decides: small graphs
+    # broadcast the node-keyed side of every per-round join (edges are
+    # materialized once, never reshuffled), big graphs keep plain
+    # shuffle joins — identical results either way.
+    small_graph = labels.count() <= broadcast_nodes_max
+
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels.select(F.col("node").alias("b"), F.col("comp").alias("bc")), "b")
+            edges.join(
+                hint(labels.select(F.col("node").alias("b"), F.col("comp").alias("bc"))),
+                "b",
+            )
             .groupBy("a")
             .agg(F.min("bc").alias("nbr_comp"))
             .select(F.col("a").alias("node"), "nbr_comp")
         )
         updated = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(hint(nbr_min), "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
@@ -451,7 +466,7 @@ def connected_components(
             .localCheckpoint()
         )
         changed = (
-            updated.join(labels.select("node", F.col("comp").alias("old")), "node")
+            updated.join(hint(labels.select("node", F.col("comp").alias("old"))), "node")
             .filter(F.col("comp") != F.col("old"))
             .limit(1)
             .count()
@@ -469,6 +484,7 @@ def connected_components_star(
     max_iter: int = 50,
     stats: dict | None = None,
     snapshot_root: str | None = None,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -514,12 +530,20 @@ def connected_components_star(
     )
     edges = cut(sym(raw), "edges", 0)
     edge_count = edges.count()
+    # Per-round min frames are node-sized; materialized frames carry no
+    # size stats, so hint them (same gate as connected_components) to
+    # keep the edge set from reshuffling every round on small graphs.
+    small_graph = nodes.count() <= broadcast_nodes_max
+
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         # large-star
         m = mins_of(edges)
-        j = edges.join(m, "u")
+        j = edges.join(hint(m), "u")
         large = cut(
             sym(
                 j.filter(F.col("v") > F.col("u")).select(
@@ -531,7 +555,7 @@ def connected_components_star(
         )
         # small-star
         m2 = mins_of(large)
-        j2 = large.join(m2, "u")
+        j2 = large.join(hint(m2), "u")
         small = cut(
             sym(
                 j2.filter(F.col("v") < F.col("u"))

@@ -158,7 +158,13 @@ def top_eigvec(cov: DataFrame, dim: int, iterations: int = 8) -> DataFrame:
     """Top eigenvector of a (i, j, c) covariance DataFrame by power
     iteration v ← C·v/‖C·v‖ from the exact uniform start 1/√dim.
     Returns (j, v, eigval) with the Rayleigh-quotient eigenvalue
-    λ = vᵀCv (‖C·v‖ of the final round, since v is unit)."""
+    λ = vᵀCv (‖C·v‖ of the final round, since v is unit).
+
+    The vector frame is d rows — broadcast-hinted into every matvec
+    join (checkpointed frames carry no size stats, so Catalyst would
+    otherwise sort-merge-shuffle the d² matrix each round; a d-row
+    vector broadcasts fine for any d this d²-row-matrix representation
+    is appropriate for)."""
     cov = cov.localCheckpoint()
     v = cov.select(F.col("j")).distinct().withColumn(
         "v", F.lit(1.0 / dim ** 0.5)
@@ -167,7 +173,7 @@ def top_eigvec(cov: DataFrame, dim: int, iterations: int = 8) -> DataFrame:
     u = None
     for _ in range(iterations):
         u = (
-            cov.join(v, "j")
+            cov.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
             .select(F.col("i").alias("j"), "u")
@@ -177,5 +183,7 @@ def top_eigvec(cov: DataFrame, dim: int, iterations: int = 8) -> DataFrame:
             .select("j", (F.col("u") / F.col("nrm")).alias("v"))
             .localCheckpoint()
         )
-    eig = u.join(v, "j").select(F.sum(F.col("v") * F.col("u")).alias("eigval"))
+    eig = u.join(F.broadcast(v), "j").select(
+        F.sum(F.col("v") * F.col("u")).alias("eigval")
+    )
     return v.join(F.broadcast(eig))
