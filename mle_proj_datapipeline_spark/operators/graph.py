@@ -81,6 +81,7 @@ def pagerank(
     damping: float = 0.85,
     validate: bool = True,
     broadcast_nodes_max: int = 1_000_000,
+    checkpointer=None,
 ) -> DataFrame:
     """Synchronous power-iteration PageRank over a directed edge list.
 
@@ -114,13 +115,17 @@ def pagerank(
     of per-node contributions. Above the threshold (a graph whose rank
     vector doesn't fit an executor) the joins degrade to plain shuffle
     joins — correctness is identical, only the hint changes.
+
+    ``checkpointer`` overrides per-round lineage truncation (default
+    ``localCheckpoint``); tests pass the identity to inspect the FULL
+    iteration plan and gate on its join strategies.
     """
-    e = (
+    cut = (lambda df: df.localCheckpoint()) if checkpointer is None else checkpointer
+    e = cut(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
     )
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    nodes = cut(e.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     small = n <= broadcast_nodes_max
 
@@ -129,7 +134,7 @@ def pagerank(
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) triples computed once; checkpoint truncates lineage.
-    ed = e.join(hint(deg), "src").localCheckpoint()
+    ed = cut(e.join(hint(deg), "src"))
     if validate:
         # Anti-join over the CHECKPOINTED frames — the guard never
         # re-executes the caller's edge-build subtree.
@@ -166,6 +171,6 @@ def pagerank(
                     F.lit(teleport) + F.lit(damping) * F.coalesce("m", F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
+        ranks = cut(ranks)
     return ranks

@@ -437,3 +437,30 @@ def test_feature_hashing_single_aggregation_shuffle(spark):
     assert "Join" not in plan, plan
     shuffles = _hash_exchanges(plan)
     assert shuffles == 1, f"expected 1 hash exchange, saw {shuffles}\n{plan}"
+
+
+def test_pagerank_iterations_broadcast_not_sortmerge(spark):
+    """The stats-loss gate (round 6): on a small graph every iteration
+    join (edges x ranks, nodes x contribs, edges x deg) must be a
+    BroadcastHashJoin — checkpointed frames carry no size stats, so
+    without the explicit hint Catalyst sort-merge-reshuffles the edge
+    list every round. The identity checkpointer keeps the full
+    iteration lineage visible for the assertion; forcing the gate off
+    (broadcast_nodes_max=0) must produce identical ranks through plain
+    shuffle joins."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]],
+        "src LONG, dst LONG",
+    )
+    r = pagerank(edges, iterations=2, validate=False, checkpointer=lambda df: df)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5  # deg + 2x(ranks, contribs)
+
+    got = {row["node"]: round(row["r"], 9) for row in r.collect()}
+    forced = pagerank(edges, iterations=2, validate=False, broadcast_nodes_max=0)
+    assert {row["node"]: round(row["r"], 9) for row in forced.collect()} == got
