@@ -84,18 +84,36 @@ def incremental_lm_counts(
 
 
 def served_counts(spark: SparkSession, state_root: str) -> tuple[DataFrame, DataFrame]:
-    """The maintained model: merged (term, c1) and (w1, w2, c2)."""
-    uni = (
-        spark.read.parquet(f"{state_root}/uni")
-        .groupBy("term")
-        .agg(F.sum("c1").alias("c1"))
-    )
-    big = (
-        spark.read.parquet(f"{state_root}/big")
-        .groupBy("w1", "w2")
-        .agg(F.sum("c2").alias("c2"))
-    )
+    """The maintained model: merged (term, c1) and (w1, w2, c2) —
+    compact base (if any) plus the partials above its watermark."""
+    from mle_proj_datapipeline_spark.streaming.compaction import served_state
+
+    uni = served_state(spark, f"{state_root}/uni", ["term"], "c1")
+    big = served_state(spark, f"{state_root}/big", ["w1", "w2"], "c2")
     return uni, big
+
+
+def compact_counts(spark: SparkSession, state_root: str) -> tuple[int, int]:
+    """Fold both count changelogs into committed vocabulary-sized base
+    snapshots (streaming/compaction.py — atomic, watermarked) so model
+    size is bounded by |V| / |bigram vocab|, not by stream lifetime.
+    Returns the (uni, big) snapshot versions (-1 = nothing to fold)."""
+    from mle_proj_datapipeline_spark.streaming.compaction import compact_state
+
+    return (
+        compact_state(spark, f"{state_root}/uni", ["term"], "c1"),
+        compact_state(spark, f"{state_root}/big", ["w1", "w2"], "c2"),
+    )
+
+
+def gc_counts(spark: SparkSession, state_root: str) -> tuple[list[int], list[int]]:
+    """Delete folded partial partitions of both changelogs."""
+    from mle_proj_datapipeline_spark.streaming.compaction import gc_state
+
+    return (
+        gc_state(spark, f"{state_root}/uni"),
+        gc_state(spark, f"{state_root}/big"),
+    )
 
 
 def score_docs(docs: DataFrame, uni: DataFrame, big: DataFrame) -> DataFrame:

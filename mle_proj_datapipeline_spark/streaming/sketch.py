@@ -6,8 +6,10 @@ merge by plain SUM, the streaming form is just: each micro-batch commits
 its own partial cells under a batch_id partition (idempotent on replay —
 a retried batch dynamically overwrites ITS OWN partition only), and the
 served sketch is ``groupBy(j, bucket).sum`` over the partials. No state
-store is needed: the cells directory IS the state, bounded at
-batches × d × w rows and compactable by rewriting summed cells.
+store is needed: the cells directory IS the state. ``compact_cells``
+folds history into a committed watermarked base snapshot
+(streaming/compaction.py — atomic, crash-safe), bounding state at
+O(d×w) + live deltas instead of batches × d × w.
 
 tests/test_streaming_medallion.py proves stream==batch: cells maintained
 over two file waves equal cm_cells over the union, and the heavy-hitter
@@ -72,10 +74,26 @@ def incremental_cm_cells(
 
 
 def served_cells(spark: SparkSession, cells_dir: str) -> DataFrame:
-    """The maintained sketch: merge the per-batch partials — d×w rows
-    regardless of how many batches have landed."""
-    return (
-        spark.read.parquet(cells_dir)
-        .groupBy("j", "bucket")
-        .agg(F.sum("cell_n").alias("cell_n"))
-    )
+    """The maintained sketch: merge the compact base (if any) plus the
+    per-batch partials above its watermark — d×w rows regardless of how
+    many batches have landed or how recently compaction ran."""
+    from mle_proj_datapipeline_spark.streaming.compaction import served_state
+
+    return served_state(spark, cells_dir, ["j", "bucket"], "cell_n")
+
+
+def compact_cells(spark: SparkSession, cells_dir: str) -> int:
+    """Fold the per-batch partials into one committed d×w base snapshot
+    (streaming/compaction.py — atomic, watermarked, crash-safe) so
+    serving cost stays O(d×w), not O(batches × d×w). Pair with
+    ``gc_cells`` to reclaim the folded partitions."""
+    from mle_proj_datapipeline_spark.streaming.compaction import compact_state
+
+    return compact_state(spark, cells_dir, ["j", "bucket"], "cell_n")
+
+
+def gc_cells(spark: SparkSession, cells_dir: str) -> list[int]:
+    """Delete folded partial partitions (lazy space reclamation)."""
+    from mle_proj_datapipeline_spark.streaming.compaction import gc_state
+
+    return gc_state(spark, cells_dir)

@@ -722,3 +722,96 @@ def test_served_queries_pin_state_and_rebuild_on_source_change(
     assert len(calls) == 2
     with open(meta) as f:
         assert json.load(f)["source"] != "stale"
+
+
+def test_cm_compaction_preserves_serving_and_watermark(spark, tmp_path_factory):
+    """Changelog compaction (streaming/compaction.py): folding the
+    per-batch cell partials into the committed base must not change
+    served estimates at ANY point — right after compaction (folded
+    partials still on disk are excluded by the watermark, never double
+    counted), after GC reclaims them, and after new batches land above
+    the watermark."""
+    import os
+
+    from mle_proj_datapipeline_spark.operators import sketch as SK
+    from mle_proj_datapipeline_spark.streaming import sketch as SS
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    land = str(tmp_path_factory.mktemp("cmc_land"))
+    cells_dir = str(tmp_path_factory.mktemp("cmc_cells")) + "/cells"
+    ck = str(tmp_path_factory.mktemp("cmc_ck"))
+
+    def rows(df):
+        return sorted((r["j"], r["bucket"], r["cell_n"]) for r in df.collect())
+
+    cut = orders.agg(F.expr("percentile(o_orderkey, 0.5)")).collect()[0][0]
+    wave1 = orders.filter(F.col("o_orderkey") <= cut)
+    wave1.write.mode("append").parquet(land)
+    schema = spark.read.parquet(land).schema
+
+    SS.incremental_cm_cells(spark, land, schema, cells_dir, ck, "o_custkey")
+    want1 = rows(SK.cm_cells(wave1, "o_custkey"))
+    assert rows(SS.served_cells(spark, cells_dir)) == want1
+
+    # compact: partials still on disk, watermark excludes them
+    v = SS.compact_cells(spark, cells_dir)
+    assert v >= 0
+    assert any(e.startswith("batch_id=") for e in os.listdir(cells_dir))
+    assert rows(SS.served_cells(spark, cells_dir)) == want1
+    # nothing new to fold -> no-op
+    assert SS.compact_cells(spark, cells_dir) == -1
+
+    # GC reclaims folded partitions; serving unchanged (base only)
+    removed = SS.gc_cells(spark, cells_dir)
+    assert removed and not any(
+        e.startswith("batch_id=") for e in os.listdir(cells_dir)
+    )
+    assert rows(SS.served_cells(spark, cells_dir)) == want1
+
+    # new batches land ABOVE the watermark and merge with the base
+    orders.filter(F.col("o_orderkey") > cut).write.mode("append").parquet(land)
+    SS.incremental_cm_cells(spark, land, schema, cells_dir, ck, "o_custkey")
+    want_all = rows(SK.cm_cells(orders, "o_custkey"))
+    assert rows(SS.served_cells(spark, cells_dir)) == want_all
+
+    # second compaction folds the deltas into the base
+    assert SS.compact_cells(spark, cells_dir) > v
+    SS.gc_cells(spark, cells_dir)
+    assert rows(SS.served_cells(spark, cells_dir)) == want_all
+
+
+def test_lm_compaction_preserves_model_scores(spark, tmp_path_factory):
+    """LM count compaction: scores served from the compacted model must
+    be bit-identical to the batch-trained twin across fold + GC + new
+    data."""
+    from mle_proj_datapipeline_spark.plans.featurize_queries import (
+        bigram_lm_doc_scores,
+    )
+    from mle_proj_datapipeline_spark.streaming import lm as LM
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    land = str(tmp_path_factory.mktemp("lmc_land"))
+    state = str(tmp_path_factory.mktemp("lmc_state")) + "/state"
+    ck = str(tmp_path_factory.mktemp("lmc_ck"))
+
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(land)
+    schema = spark.read.parquet(land).schema
+    LM.incremental_lm_counts(spark, land, schema, state, ck)
+    LM.compact_counts(spark, state)
+    LM.gc_counts(spark, state)
+
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(land)
+    LM.incremental_lm_counts(spark, land, schema, state, ck)
+
+    uni, big = LM.served_counts(spark, state)
+    got = sorted(
+        (r["doc_id"], r["n_bigrams"], str(r["avg_logprob"]))
+        for r in LM.score_docs(docs, uni, big).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_bigrams"], str(r["avg_logprob"]))
+        for r in bigram_lm_doc_scores(spark, sf).collect()
+    )
+    assert got == want and got
