@@ -40,10 +40,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mle_proj_datapipeline_spark.sources.snapshots import (
+    expire,
     history,
     read_snapshot,
     write_snapshot,
 )
+
+KEEP_COMPACT_VERSIONS = 3
 
 
 def compacted_root(partials_dir: str) -> str:
@@ -122,12 +125,17 @@ def compact_state(
     if not live_ids:
         return -1
     merged = served_state(spark, partials_dir, key_cols, val_col)
-    return write_snapshot(
+    root = compacted_root(partials_dir)
+    v = write_snapshot(
         merged,
-        compacted_root(partials_dir),
+        root,
         mode="overwrite",
         meta={"folded_through": max(live_ids)},
     )
+    # Each fold is a full logical rewrite — old versions are only
+    # useful for brief time travel; cap them like the metrics store.
+    expire(spark, root, keep_last=KEEP_COMPACT_VERSIONS)
+    return v
 
 
 def gc_state(spark: SparkSession, partials_dir: str) -> list[int]:
