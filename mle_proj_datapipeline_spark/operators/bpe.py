@@ -188,6 +188,9 @@ def bpe_learn(
     )
 
 
+MAX_EXPR_CHAIN = 64
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: DataFrame | list[tuple[str, str]],
@@ -196,19 +199,48 @@ def bpe_apply(
     out_col: str = "bpe_stream",
 ) -> DataFrame:
     """Transform step of the fit→transform pair: re-encode ``text_col``
-    and apply the learned merges IN TRAINING ORDER as chained literal
-    replaces (each is map-only, JVM-side). ``merges`` is the DataFrame
-    ``bpe_learn`` returned (collected here — the merge table is the
-    driver-held model artifact, thousands of rows at most) or an
-    in-memory [(left, right), ...] list."""
+    and apply the learned merges IN TRAINING ORDER as literal replaces
+    (each is map-only). ``merges`` is the DataFrame ``bpe_learn``
+    returned (collected here — the merge table is the driver-held model
+    artifact, thousands of rows at most) or an in-memory
+    [(left, right), ...] list.
+
+    Physical strategy by rule count: up to ``MAX_EXPR_CHAIN`` rules the
+    replaces chain as nested JVM expressions inside whole-stage codegen
+    (zero Python); a PRODUCTION merge table (thousands of rules) would
+    blow up Catalyst's analysis on a thousands-deep expression tree, so
+    above the threshold the same in-order replace loop runs as ONE
+    Arrow-batched ``mapInPandas`` stage — still map-only, analyzed
+    once, same output bit-for-bit (tested across the threshold)."""
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("step").collect()
         rules = [(r["left"], r["right"]) for r in rows]
     else:
         rules = list(merges)
-    col = encode_tokens(text_col, max_chars)
-    for left, right in rules:
-        col = F.replace(
-            col, F.lit(f"|{left}{DELIM}{right}|"), F.lit(f"|{left}{right}|")
-        )
-    return docs.withColumn(out_col, col)
+    encoded = encode_tokens(text_col, max_chars)
+    if len(rules) <= MAX_EXPR_CHAIN:
+        col = encoded
+        for left, right in rules:
+            col = F.replace(
+                col, F.lit(f"|{left}{DELIM}{right}|"), F.lit(f"|{left}{right}|")
+            )
+        return docs.withColumn(out_col, col)
+
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    pats = [(f"|{lf}{DELIM}{rt}|", f"|{lf}{rt}|") for lf, rt in rules]
+    src = docs.withColumn(out_col, encoded)
+    schema = src.schema
+
+    def apply_rules(batches):
+        for pdf in batches:
+            s = pdf[out_col]
+            for pat, rep in pats:
+                # pandas str.replace(regex=False) is the same
+                # left-to-right non-overlapping literal scan as
+                # F.replace / DuckDB replace.
+                s = s.str.replace(pat, rep, regex=False)
+            pdf[out_col] = s
+            yield pdf
+
+    return src.mapInPandas(apply_rules, schema)

@@ -621,3 +621,31 @@ def test_pagerank_rejects_dangling_nodes(spark):
         pagerank(dangling, iterations=2)
     # escape hatch still runs (documented contract: caller owns the risk)
     assert pagerank(dangling, iterations=1, validate=False).count() == 2
+
+
+def test_bpe_apply_arrow_path_matches_expression_chain(spark):
+    """bpe_apply's two physical strategies (nested JVM replace chain vs
+    Arrow mapInPandas loop above MAX_EXPR_CHAIN rules) must produce the
+    same stream bit-for-bit: pandas str.replace(regex=False) and
+    F.replace are both left-to-right non-overlapping literal scans."""
+    from mle_proj_datapipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [("banana band bandana",), ("a man a plan a canal",), ("",)],
+        "text STRING",
+    )
+    rules = [("a", "n"), ("an", "a"), ("b", "an"), ("_", "a")]
+    jvm = {
+        r["text"]: r["bpe_stream"]
+        for r in bpe.bpe_apply(docs, rules, "text").collect()
+    }
+    old = bpe.MAX_EXPR_CHAIN
+    try:
+        bpe.MAX_EXPR_CHAIN = 2  # force the Arrow path for the same rules
+        arrow = {
+            r["text"]: r["bpe_stream"]
+            for r in bpe.bpe_apply(docs, rules, "text").collect()
+        }
+    finally:
+        bpe.MAX_EXPR_CHAIN = old
+    assert arrow == jvm and len(jvm) == 3
