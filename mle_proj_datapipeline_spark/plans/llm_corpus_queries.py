@@ -206,8 +206,14 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide fanout of a hot shingle ("in the the") is bounded by
     construction, the same skew discipline as the blocked dedup family.
     Counts then reduce per (train, bench) pair via map-side combinable
-    aggregation; denominators join back from a per-doc size table."""
+    aggregation; denominators join back from a per-doc size table.
+    The capped shingle relation feeds THREE consumers (train side,
+    bench side, per-doc sizes) and Spark does not reuse the exchange
+    across them (verified: 0 ReusedExchange), so it is materialized
+    once — shingling and the DF-cap window run exactly one time."""
     from pyspark.sql import Window
+
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
 
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
@@ -217,7 +223,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs must shuffle by s for the containment join anyway, so the
     # window piggybacks on that partitioning — one shuffle instead of
     # the groupBy+join form's two (measured ~1.8x at sf0.1).
-    kept = (
+    kept = materialize_frame(
         sh.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .filter(F.col("__n") <= DECON_DF_CAP)
         .drop("__n")
