@@ -157,8 +157,16 @@ def _claim_age(spark: SparkSession, path: str) -> float:
         if not fs.exists(jpath):
             return -1.0
         return _time.time() - fs.getFileStatus(jpath).getModificationTime() / 1000.0
-    except Exception:
-        return -1.0
+    except Exception as ex:
+        # Deleted between exists() and getFileStatus() == claim released
+        # — genuinely claimable. Anything else (a transient FS error)
+        # must NOT read as claimable: a second committer would steal an
+        # ACTIVE claim. The fork-conflict retraction downstream would
+        # eventually repair the double-commit, but failing here is
+        # strictly cheaper than repairing it.
+        if "FileNotFound" in type(ex).__name__ or "FileNotFound" in str(ex):
+            return -1.0
+        raise
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
