@@ -815,3 +815,45 @@ def test_lm_compaction_preserves_model_scores(spark, tmp_path_factory):
         for r in bigram_lm_doc_scores(spark, sf).collect()
     )
     assert got == want and got
+
+
+def test_compaction_invariant_under_random_schedules(spark, tmp_path_factory):
+    """served_state is invariant under ANY interleaving of appends,
+    folds, and GCs: for a randomized (seeded) schedule of partial-batch
+    commits with compaction/GC injected at arbitrary points, the served
+    counts always equal the plain sum over everything committed so
+    far."""
+    import random
+
+    from mle_proj_datapipeline_spark.streaming import compaction as C
+
+    rng = random.Random(6)
+    for trial in range(3):
+        root = str(tmp_path_factory.mktemp(f"cmp_rand_{trial}")) + "/parts"
+        truth: dict[int, int] = {}
+        bid = 0
+        for _ in range(rng.randint(3, 6)):
+            # commit a partial batch of (key, n) counts
+            rows = [(rng.randint(0, 4), rng.randint(1, 5)) for _ in range(rng.randint(1, 8))]
+            for k, n in rows:
+                truth[k] = truth.get(k, 0) + n
+            (
+                spark.createDataFrame(rows, "key INT, n BIGINT")
+                .groupBy("key").agg(F.sum("n").alias("n"))
+                .withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(root)
+            )
+            bid += 1
+            action = rng.random()
+            if action < 0.4:
+                C.compact_state(spark, root, ["key"], "n")
+            if action < 0.2:
+                C.gc_state(spark, root)
+            got = {
+                r["key"]: r["n"]
+                for r in C.served_state(spark, root, ["key"], "n").collect()
+            }
+            assert got == truth, f"trial {trial} after batch {bid}: {got} != {truth}"
