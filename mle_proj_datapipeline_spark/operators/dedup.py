@@ -403,6 +403,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     broadcast_nodes_max: int = 1_000_000,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list by min-label
     propagation: every node repeatedly takes the smallest component id
@@ -430,6 +431,13 @@ def connected_components(
         .dropDuplicates(["a", "b"])
         .localCheckpoint()
     )
+    # Small-graph arm: below the gate, per-round shuffle/checkpoint
+    # overhead dwarfs the work — one driver union-find replaces the
+    # whole iteration (operators/cc_local.py; same canonical labels).
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
+
+        return union_find_labels(edges, "a", "b")
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -485,6 +493,7 @@ def connected_components_star(
     stats: dict | None = None,
     snapshot_root: str | None = None,
     broadcast_nodes_max: int = 1_000_000,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -530,6 +539,23 @@ def connected_components_star(
     )
     edges = cut(sym(raw), "edges", 0)
     edge_count = edges.count()
+    # Small-graph arm: the edge count is already in hand for the
+    # convergence probe; below the gate, one driver union-find replaces
+    # the whole round loop (operators/cc_local.py — same canonical
+    # labels, microseconds at this size). Self-loop-only nodes still
+    # come back as singletons through the final nodes join.
+    if driver_max_edges and edge_count <= driver_max_edges:
+        from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
+
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver-union-find"
+        lbl = union_find_labels(edges, "u", "v").withColumnRenamed("node", "u")
+        return nodes.join(lbl, "u", "left").select(
+            F.col("u").alias("node"), F.coalesce("comp", F.col("u")).alias("comp")
+        )
+    if stats is not None:
+        stats["mode"] = "star"
     # Per-round min frames are node-sized; materialized frames carry no
     # size stats, so hint them (same gate as connected_components) to
     # keep the edge set from reshuffling every round on small graphs.

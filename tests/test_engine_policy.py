@@ -43,6 +43,7 @@ COLLECT_ALLOWED = {
     "streaming/drift.py",  # pinned baseline fractions (10 rows, deploy-time)
     "operators/bpe.py",  # per-step merge rule argmax (1 row, driver-held)
     "streaming/transitions.py",  # snapshot partition-id listing (ints)
+    "operators/cc_local.py",  # gated small-graph union-find (edge-count gate)
 }
 
 

@@ -135,13 +135,27 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = {n: roots[r] for n, r in expected.items()}
 
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    # driver_max_edges=0 pins the DISTRIBUTED kernel (the driver arm
+    # IS this union-find — testing it against itself proves nothing)
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
     assert got == expected
 
     from mle_proj_datapipeline_spark.operators.dedup import connected_components_star
 
-    got_star = {r["node"]: r["comp"] for r in connected_components_star(pairs).collect()}
+    got_star = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(pairs, driver_max_edges=0).collect()
+    }
     assert got_star == expected
+
+    # the gated driver arm must agree with the distributed kernels
+    got_local = {
+        r["node"]: r["comp"] for r in connected_components_star(pairs).collect()
+    }
+    assert got_local == expected
 
 
 def test_star_cc_chain_converges_logarithmically(spark):
@@ -157,7 +171,7 @@ def test_star_cc_chain_converges_logarithmically(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     stats: dict = {}
-    labels = connected_components_star(chain, stats=stats).collect()
+    labels = connected_components_star(chain, stats=stats, driver_max_edges=0).collect()
     assert len(labels) == n
     assert all(r["comp"] == 0 for r in labels)
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 3  # ≈ log² head-room
@@ -223,11 +237,14 @@ def test_star_cc_snapshot_path_identical(spark, tmp_path):
 
     edges = [(1, 2), (2, 3), (4, 5), (6, 6), (7, 8), (8, 9), (9, 10)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    local = {tuple(r) for r in connected_components_star(pairs).collect()}
+    local = {
+        tuple(r)
+        for r in connected_components_star(pairs, driver_max_edges=0).collect()
+    }
     durable = {
         tuple(r)
         for r in connected_components_star(
-            pairs, snapshot_root=str(tmp_path / "cc")
+            pairs, snapshot_root=str(tmp_path / "cc"), driver_max_edges=0
         ).collect()
     }
     assert local == durable and local
