@@ -116,7 +116,9 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.split("text", " ").alias("t"))
-    uni = (
+    # uni feeds both the scoring join and the |V| scalar — materialized
+    # (vocabulary-sized) so the unigram explode also runs once.
+    uni = materialize_frame(
         tok.select(F.explode("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c1"))

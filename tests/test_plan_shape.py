@@ -464,3 +464,31 @@ def test_pagerank_iterations_broadcast_not_sortmerge(spark):
     got = {row["node"]: round(row["r"], 9) for row in r.collect()}
     forced = pagerank(edges, iterations=2, validate=False, broadcast_nodes_max=0)
     assert {row["node"]: round(row["r"], 9) for row in forced.collect()} == got
+
+
+def test_decontamination_single_shingle_pass(spark):
+    """benchmark_decontamination materializes its capped shingle
+    relation once (round 6 — the un-materialized form ran the explode +
+    DF-cap window three times, 0 ReusedExchange): the train/bench/sizes
+    consumers must all read checkpointed blocks, so the final plan
+    carries NO documents scan and NO window operator."""
+    import re
+
+    plan = plan_of(spark, "benchmark_decontamination")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 0, f"expected 0 parquet scans, found {n_scans}"
+    assert "Window" not in plan
+
+
+def test_bigram_lm_single_tokenize_pass(spark):
+    """bigram_lm_doc_scores materializes the bigram stream AND the
+    unigram count table once (round 6): every consumer reads
+    checkpointed blocks, so the final plan carries no Generate (both
+    explodes ran at build time) and no parquet scan."""
+    import re
+
+    plan = plan_of(spark, "bigram_lm_doc_scores")
+    gens = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert gens == 0, f"expected 0 Generate, found {gens}\n{plan}"
+    assert n_scans == 0, f"expected 0 parquet scans, found {n_scans}"
