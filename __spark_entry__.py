@@ -87,6 +87,54 @@ def _coverage_order(names: list[str]) -> list[str]:
     import json
 
     module_mtime: dict[str, float] = {}
+    module_deps: dict[str, list[str]] = {}
+
+    def _dep_files(path: str) -> list[str]:
+        """The freshness clock for a query is the newest commit among
+        its plan module AND the package-internal modules that file
+        imports (one level, top-level or function-local): an operator
+        edit re-stales the queries built on it even though their plan
+        module didn't change — the round-6 blind spot where e.g. a
+        dedup.py change left neardup_clusters' old driver rows looking
+        fresh."""
+        import re
+
+        if path in module_deps:
+            return module_deps[path]
+        deps = [path]
+        try:
+            with open(path) as fh:
+                src = fh.read()
+        except OSError:
+            module_deps[path] = deps
+            return deps
+        pkg_root = os.path.join(_REPO_DIR, "mle_proj_datapipeline_spark")
+
+        def add(mod_path: str) -> bool:
+            base = os.path.join(pkg_root, *mod_path.split("."))
+            for cand in (base + ".py", os.path.join(base, "__init__.py")):
+                if os.path.exists(cand):
+                    if cand not in deps:
+                        deps.append(cand)
+                    return True
+            return False
+
+        for m in re.finditer(
+            r"^\s*from\s+mle_proj_datapipeline_spark\.([\w.]+)\s+import\s+([\w, ]+)",
+            src,
+            re.M,
+        ):
+            add(m.group(1))
+            for nm in m.group(2).split(","):
+                nm = nm.strip().split(" as ")[0].strip()
+                if nm:
+                    add(f"{m.group(1)}.{nm}")
+        for m in re.finditer(
+            r"^\s*import\s+mle_proj_datapipeline_spark\.([\w.]+)", src, re.M
+        ):
+            add(m.group(1))
+        module_deps[path] = deps
+        return deps
 
     def impl_mtime(name: str) -> float:
         mod = sys.modules.get(getattr(QUERIES[name], "__module__", ""), None)
@@ -94,7 +142,7 @@ def _coverage_order(names: list[str]) -> list[str]:
         if not path:
             return 0.0
         if path not in module_mtime:
-            module_mtime[path] = _git_mtime(path)
+            module_mtime[path] = max(_git_mtime(p) for p in _dep_files(path))
         return module_mtime[path]
 
     fresh: dict[str, int] = {n: 0 for n in names}
