@@ -154,18 +154,43 @@ def covariance_gramian(
     return upper.unionByName(lower)
 
 
-def top_eigvec(cov: DataFrame, dim: int, iterations: int = 8) -> DataFrame:
+def top_eigvec(
+    cov: DataFrame, dim: int, iterations: int = 8, driver_max_dim: int = 1024
+) -> DataFrame:
     """Top eigenvector of a (i, j, c) covariance DataFrame by power
     iteration v ← C·v/‖C·v‖ from the exact uniform start 1/√dim.
     Returns (j, v, eigval) with the Rayleigh-quotient eigenvalue
     λ = vᵀCv (‖C·v‖ of the final round, since v is unit).
 
-    The vector frame is d rows — broadcast-hinted into every matvec
-    join (checkpointed frames carry no size stats, so Catalyst would
-    otherwise sort-merge-shuffle the d² matrix each round; a d-row
-    vector broadcasts fine for any d this d²-row-matrix representation
-    is appropriate for)."""
+    The DATA-sized pass is the covariance computation; its output is
+    d²-bounded at any corpus scale, so for d ≤ ``driver_max_dim`` the
+    spectral solve itself runs on the driver over the collected d²
+    rows (the k-means-codebook privilege: a declared-dimension model
+    artifact, ≤ ~24 MB at the 1024 gate) with the IDENTICAL recurrence.
+    This is how production systems structure it — distribute the Gram
+    pass, solve the tiny eigenproblem locally — and it replaces
+    ``iterations`` × (join + agg + window + checkpoint) fixed overhead
+    with microseconds. Above the gate the distributed rounds run
+    unchanged: the vector frame is d rows, broadcast-hinted into every
+    matvec join (checkpointed frames carry no size stats, so Catalyst
+    would otherwise sort-merge-shuffle the d² matrix each round)."""
     cov = cov.localCheckpoint()
+    if driver_max_dim and dim <= driver_max_dim:
+        import numpy as np
+
+        c = np.zeros((dim, dim))
+        for r in cov.collect():  # d²-bounded model artifact (see doc)
+            c[r["i"], r["j"]] = r["c"]
+        v = np.full(dim, 1.0 / dim ** 0.5)
+        u = None
+        for _ in range(iterations):
+            u = c @ v
+            v = u / float(np.sqrt((u * u).sum()))
+        eigval = float((v * u).sum())
+        return cov.sparkSession.createDataFrame(
+            [(int(j), float(v[j]), eigval) for j in range(dim)],
+            "j INT, v DOUBLE, eigval DOUBLE",
+        )
     v = cov.select(F.col("j")).distinct().withColumn(
         "v", F.lit(1.0 / dim ** 0.5)
     )

@@ -96,19 +96,20 @@ def _power_iteration_oracle() -> str:
 
 @register("embedding_pca_power", oracle=_power_iteration_oracle())
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding cloud by distributed
-    power iteration: v ← C·v/‖C·v‖ over the d² covariance DataFrame —
-    PCA as pure joins + aggregations, no MLlib, no driver linear
-    algebra. Returns (dim, loading, eigval) with the Rayleigh-quotient
-    eigenvalue λ = vᵀCv (= ‖u‖ после normalize since v is unit).
+    """Top principal direction of the embedding cloud by power
+    iteration v ← C·v/‖C·v‖ over the covariance of the full corpus.
+    Returns (dim, loading, eigval) with the Rayleigh-quotient
+    eigenvalue λ = vᵀCv (= ‖u‖ after normalize since v is unit).
 
-    Scale design: the data-sized work is the ONE covariance pass
-    (see embedding_covariance — shuffle is d² per partition); the
-    iteration then runs on d²-row / d-row DataFrames (matvec = one
-    equi-join + groupBy per round, lineage truncated per round). The
-    deterministic uniform start (1/√d, exact in binary) and fixed
-    iteration count make both engines run the identical recurrence —
-    sign and value are reproducible, unlike RNG-seeded solvers."""
+    Scale design: the DATA-sized work is the ONE distributed
+    covariance pass (see embedding_covariance); its output is
+    d²-bounded at any corpus scale, so the spectral solve runs on the
+    driver below the declared-dim gate (operators/linalg.top_eigvec —
+    the k-means-codebook privilege; distributed matvec rounds above
+    it, same recurrence, tested to agree). The deterministic uniform
+    start (1/√d, exact in binary) and fixed iteration count make both
+    engines run the identical recurrence — sign and value are
+    reproducible, unlike RNG-seeded solvers."""
     from mle_proj_datapipeline_spark.operators.linalg import covariance, top_eigvec
 
     emb = load_table(spark, sf_dir, "embeddings")

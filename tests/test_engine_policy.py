@@ -44,6 +44,7 @@ COLLECT_ALLOWED = {
     "operators/bpe.py",  # per-step merge rule argmax (1 row, driver-held)
     "streaming/transitions.py",  # snapshot partition-id listing (ints)
     "operators/cc_local.py",  # gated small-graph union-find (edge-count gate)
+    "operators/linalg.py",  # d²-bounded spectral solve (declared-dim gate)
 }
 
 

@@ -579,9 +579,19 @@ def test_pca_power_converges_on_gapped_spectrum(spark):
         for k in range(40)
     ]
     df = spark.createDataFrame([(v,) for v in vecs], f"embedding array<double>")
-    got = top_eigvec(covariance(df, "embedding"), d, iterations=8).collect()
+    # driver_max_dim=0 pins the DISTRIBUTED matvec rounds (the gated
+    # driver arm is itself numpy — test it against the kernel instead)
+    got = top_eigvec(
+        covariance(df, "embedding"), d, iterations=8, driver_max_dim=0
+    ).collect()
     v = np.array([r["v"] for r in sorted(got, key=lambda r: r["j"])])
     eig_got = got[0]["eigval"]
+
+    # gated driver arm must agree with the distributed rounds to fp noise
+    drv = top_eigvec(covariance(df, "embedding"), d, iterations=8).collect()
+    dv = {r["j"]: r["v"] for r in drv}
+    assert all(abs(dv[r["j"]] - r["v"]) < 1e-9 for r in got)
+    assert abs(drv[0]["eigval"] - eig_got) < 1e-9 * max(1.0, abs(eig_got))
 
     X = np.array(vecs)
     C = np.cov(X, rowvar=False, bias=True)
