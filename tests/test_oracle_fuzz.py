@@ -1,0 +1,111 @@
+"""Differential fuzzing of the oracle gate on PERTURBED data.
+
+The driver's correctness harness compares Spark vs DuckDB on the fixed
+testdata; a query can pass there while mishandling shapes the fixed
+tables never produce (empty texts, single-token docs, heavy duplicate
+runs, sampled-away groups). This harness re-runs a battery of
+registered queries against their OWN oracle SQL on seeded mutations of
+the sf0.001 tables: a deterministic row sample plus injected edge-case
+documents. Both engines read the same parquet, so any mutation is a
+fair comparison — if results diverge, the ENGINE disagrees with its
+declared semantics, not the fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Deterministic queries over the mutated tables; chosen to cover the
+# text/feature/agg/join families while staying cheap at this size.
+FUZZ_QUERIES = [
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_repetition_quality",
+    "feature_hashing_doc_vectors",
+    "bigram_lm_doc_scores",
+    "zipf_slope_terms",
+    "chunk_exact_dedup",
+    "benchmark_decontamination",
+    "segment_order_stats",
+    "nation_revenue",
+    "top_doc_sources",
+    "cm_sketch_heavy_hitters",
+]
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source, n_chars) — shapes the generator never
+    # emits: empty text, single char, one token, all-same-token runs,
+    # exact duplicates of each other, pipe chars (BPE delimiter).
+    (9_000_001, "", "en", "fuzz", 0),
+    (9_000_002, "x", "en", "fuzz", 1),
+    (9_000_003, "word", "de", "fuzz", 4),
+    (9_000_004, "spam spam spam spam spam spam spam spam", "en", "fuzz", 39),
+    (9_000_005, "the exact duplicate body of text", "en", "fuzz", 32),
+    (9_000_006, "the exact duplicate body of text", "en", "fuzz", 32),
+    (9_000_007, "pipe | and || double pipes", "en", "fuzz", 26),
+]
+
+
+def _mutate(seed: int, out_dir: str) -> None:
+    for name in TABLES:
+        t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if name in ("documents", "orders", "lineitem", "events", "embeddings"):
+            # deterministic ~60% sample keyed on a hash of the row index
+            keep = [(i * 2654435761 + seed) % 100 < 60 for i in range(t.num_rows)]
+            t = t.filter(pa.array(keep))
+        if name == "documents":
+            extra = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in EDGE_DOCS], pa.int64()),
+                    "text": pa.array([r[1] for r in EDGE_DOCS], pa.string()),
+                    "lang": pa.array([r[2] for r in EDGE_DOCS], pa.string()),
+                    "source": pa.array([r[3] for r in EDGE_DOCS], pa.string()),
+                    "n_chars": pa.array([r[4] for r in EDGE_DOCS], pa.int64()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_queries_match_oracles_on_mutated_tables(spark, tmp_path_factory, seed):
+    import __spark_entry__ as entrymod
+
+    out_dir = str(tmp_path_factory.mktemp(f"fuzz_sf_{seed}"))
+    _mutate(seed, out_dir)
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in FUZZ_QUERIES:
+        got = qs[name](spark, out_dir).toPandas()
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"spark/oracle divergence on mutated data: {bad}"
