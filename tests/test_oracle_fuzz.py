@@ -49,6 +49,28 @@ FUZZ_QUERIES = [
     "nation_revenue",
     "top_doc_sources",
     "cm_sketch_heavy_hitters",
+    # families beyond text: dedup pair generation, sampling, drift,
+    # robust stats, encodings, windows, TPC-H shapes, linalg
+    "minhash_lsh_neardups",
+    "simhash_neardups",
+    "ngram_jaccard_neardups",
+    "dict_encode_priority",
+    "order_flag_recodes",
+    "impute_mean_acctbal",
+    "pps_orders_sample",
+    "uniform_k_sample",
+    "ks_drift_totalprice",
+    "mad_outlier_stats",
+    "target_encode_priority",
+    "scd2_priority_history",
+    "session_window_stats",
+    "pricing_summary",
+    "top_revenue_orders",
+    "best_model_per_week",
+    "embedding_covariance",
+    "embedding_int8_quantize",
+    "km_reorder_survival",
+    "event_transition_matrix",
 ]
 
 EDGE_DOCS = [
