@@ -87,12 +87,12 @@ EDGE_DOCS = [
 ]
 
 
-def _mutate(seed: int, out_dir: str) -> None:
+def _mutate(seed: int, out_dir: str, rate: int = 60) -> None:
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         if name in ("documents", "orders", "lineitem", "events", "embeddings"):
-            # deterministic ~60% sample keyed on a hash of the row index
-            keep = [(i * 2654435761 + seed) % 100 < 60 for i in range(t.num_rows)]
+            # deterministic sample keyed on a hash of the row index
+            keep = [(i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)]
             t = t.filter(pa.array(keep))
         if name == "documents":
             extra = pa.table(
@@ -108,12 +108,15 @@ def _mutate(seed: int, out_dir: str) -> None:
         pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
 
 
-@pytest.mark.parametrize("seed", [11, 47])
-def test_queries_match_oracles_on_mutated_tables(spark, tmp_path_factory, seed):
+@pytest.mark.parametrize(
+    "seed,rate",
+    [(11, 60), (47, 60), (3, 8)],  # rate 8: near-empty groups everywhere
+)
+def test_queries_match_oracles_on_mutated_tables(spark, tmp_path_factory, seed, rate):
     import __spark_entry__ as entrymod
 
     out_dir = str(tmp_path_factory.mktemp(f"fuzz_sf_{seed}"))
-    _mutate(seed, out_dir)
+    _mutate(seed, out_dir, rate)
 
     con = duckdb.connect()
     for name in TABLES:
