@@ -157,6 +157,7 @@ def bpe_learn(
     merges: list[tuple[int, str, str, int]] = []
     compounds: set[str] = set()
     top_m = max(64, 8 * batch)
+    pending = 0  # replaces applied lazily since the last checkpoint
     while len(merges) < n_merges:
         rows = (
             pair_counts(corpus)
@@ -182,7 +183,15 @@ def bpe_learn(
                 F.lit(f"|{left}{DELIM}{right}|"),
                 F.lit(f"|{left}{right}|"),
             )
-        corpus = corpus.select(col.alias("s")).localCheckpoint()
+        corpus = corpus.select(col.alias("s"))
+        pending += len(chosen)
+        # Rewrites are map-only, so re-deriving a few of them per count
+        # pass beats materializing the whole corpus every batch —
+        # checkpoint only when the lazy replace chain approaches the
+        # expression-depth bound (the bpe_apply MAX_EXPR_CHAIN hazard).
+        if pending >= MAX_EXPR_CHAIN // 2:
+            corpus = corpus.localCheckpoint()
+            pending = 0
     return spark.createDataFrame(
         merges, "step INT, left STRING, right STRING, pair_count BIGINT"
     )
