@@ -56,7 +56,8 @@ BYTE_STATS_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("source", StringType(), True),
         StructField("n_bytes", LongType(), False),
-        StructField("first_byte", IntegerType(), False),
+        # nullable: an EMPTY blob has no first byte (see byte_stats)
+        StructField("first_byte", IntegerType(), True),
         StructField("checksum_mod", LongType(), False),
     ]
 )
@@ -91,7 +92,12 @@ def byte_stats(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") 
                     "doc_id": pdf[id_col].astype("int64"),
                     "source": pdf["source"],
                     "n_bytes": blobs.map(len).astype("int64"),
-                    "first_byte": blobs.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    # empty blob: first_byte is NULL (unambiguous — a -1
+                    # sentinel or DuckDB's ascii('')=0 both collide with
+                    # real byte values), checksum is 0 (the empty sum)
+                    "first_byte": pd.array(
+                        [b[0] if len(b) else None for b in blobs], dtype="Int32"
+                    ),
                     "checksum_mod": blobs.map(lambda b: sum(b) % 997).astype("int64"),
                 }
             )

@@ -66,8 +66,14 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "alpha_ratio": n_alpha.cast("double") / n_chars,
-        "avg_token_len": (n_chars - n_tokens + 1).cast("double") / n_tokens,
+        # try_divide, not /: an EMPTY document must score NULL (the
+        # oracle's DuckDB division-by-zero semantics, skipped by avg),
+        # not crash the whole corpus scan under ANSI mode — found by
+        # the mutated-table fuzz harness injecting an empty doc.
+        "alpha_ratio": F.try_divide(n_alpha.cast("double"), n_chars),
+        "avg_token_len": F.try_divide(
+            (n_chars - n_tokens + 1).cast("double"), n_tokens
+        ),
     }
 
 

@@ -157,9 +157,10 @@ def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT source,
                octet_length(encode(text)) AS n_bytes,
-               ascii(substr(text, 1, 1)) AS first_byte,
-               list_sum(list_transform(range(1, length(text) + 1),
-                        i -> ascii(substr(text, i, 1)))) % 997 AS checksum_mod
+               CASE WHEN length(text) = 0 THEN NULL
+                    ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+               coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1)))), 0) % 997 AS checksum_mod
         FROM documents)
     SELECT source, count(*) AS n_docs,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -71,6 +71,10 @@ FUZZ_QUERIES = [
     "embedding_int8_quantize",
     "km_reorder_survival",
     "event_transition_matrix",
+    # regressions this harness originally caught (round 6): ANSI
+    # divide-by-zero on an empty doc; empty-blob first_byte semantics
+    "doc_quality_by_lang",
+    "multimodal_byte_stats",
 ]
 
 EDGE_DOCS = [
