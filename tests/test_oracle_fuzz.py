@@ -138,3 +138,39 @@ def test_queries_match_oracles_on_mutated_tables(spark, tmp_path_factory, seed, 
         if g != w:
             bad.append((name, len(g), len(w)))
     assert not bad, f"spark/oracle divergence on mutated data: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry sweep (~3 min): set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_mutated_tables(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The opt-in exhaustive form of the battery above: EVERY registered
+    query against its own oracle on the mutated seed. This sweep is what
+    caught the round-6 empty-input bugs (doc_quality_by_lang ANSI
+    divide-by-zero, multimodal_byte_stats empty-blob semantics)."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_all_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_all_sf"))
+    _mutate(11, out_dir, 60)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        got = qs[name](spark, out_dir).toPandas()
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append(name)
+    assert not bad, f"divergence on mutated data: {bad}"
