@@ -92,12 +92,30 @@ EDGE_DOCS = [
 
 
 def _mutate(seed: int, out_dir: str, rate: int = 60) -> None:
+    import datetime as dt
+
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         if name in ("documents", "orders", "lineitem", "events", "embeddings"):
             # deterministic sample keyed on a hash of the row index
             keep = [(i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)]
             t = t.filter(pa.array(keep))
+        if name == "events":
+            # tied timestamps: same user, same microsecond, different
+            # events — stresses the total-order tie-break convention in
+            # the window / session / as-of family
+            tie = dt.datetime(2024, 1, 2, 12, 0, 0, 500000)
+            extra = pa.table(
+                {
+                    "event_id": pa.array([8_000_001, 8_000_002, 8_000_003], pa.int64()),
+                    "ts": pa.array([tie, tie, tie], pa.timestamp("us")),
+                    "user_id": pa.array([7, 7, 7], pa.int64()),
+                    "event_type": pa.array(["view", "click", "purchase"], pa.string()),
+                    "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+                    "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}'], pa.string()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
         if name == "documents":
             extra = pa.table(
                 {
