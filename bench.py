@@ -203,9 +203,12 @@ def main() -> None:
         "delta_vs_prev_round": deltas,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # Only the canonical sf0.1 run owns the committed artifact — a quick
+    # probe at another SF must not clobber the round's detail file.
+    if abs(sf - 0.1) < 1e-9:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     compact = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 2),
