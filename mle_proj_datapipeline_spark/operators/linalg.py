@@ -55,6 +55,16 @@ def covariance(
     (tests assert both produce the same matrix). ``upper_only=True``
     keeps just i ≤ j — half the explode fan-out / skips the Gramian
     mirror — for consumers that exploit symmetry."""
+    # Dirty-input contract is arm-INDEPENDENT (ADVICE r6): NULL vectors
+    # are dropped before dispatch (the explode arm's posexplode would
+    # silently skip them while np.asarray(None) crashed the Gramian
+    # fold), and when the dimension is declared, wrong-length vectors
+    # are dropped too (they'd ragged-crash the Gramian stack but skew
+    # the explode averages silently). Same rows in, same matrix out,
+    # whichever side of GRAMIAN_DIM_THRESHOLD dim lands.
+    df = df.filter(F.col(vec_col).isNotNull())
+    if dim is not None:
+        df = df.filter(F.size(F.col(vec_col)) == dim)
     if method == "auto":
         method = (
             "gramian"
@@ -98,6 +108,12 @@ def covariance_gramian(
     a d²-sized map-only step)."""
     import numpy as np
     import pandas as pd
+
+    # Same dirty-input contract when called directly (not via
+    # covariance()): NULL / wrong-length vectors never reach the fold.
+    df = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
 
     def fold(batches):
         gram = np.zeros((dim, dim), dtype=np.float64)

@@ -76,7 +76,28 @@ class JsonlSinkWriter(DataSourceWriter):
         manifest-respecting readers; ``overwrite`` DELETES the prior
         manifest's part files so no stale data sits beside the new
         table. Either way the manifest swap is the atomic commit
-        point."""
+        point.
+
+        Append-mode commit is a read-modify-write of the prior
+        manifest, so concurrent appends to the same path are
+        serialized with an fcntl lock held across the read+write
+        (ADVICE r6): without it two jobs would read the same prior
+        file list and the second manifest write would silently orphan
+        the first job's freshly committed part files. The lock rides
+        the local / driver-shared filesystem this sink already assumes
+        (module docstring); on object stores the whole commit becomes
+        a conditional manifest PUT instead."""
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_MANIFEST.lock"), "w") as lock_fh:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single-writer assumption stands
+                pass
+            self._commit_locked(messages)
+
+    def _commit_locked(self, messages) -> None:
         manifest_path = os.path.join(self.path, MANIFEST)
         prior: list[dict] = []
         if os.path.exists(manifest_path):
@@ -105,23 +126,31 @@ class JsonlSinkWriter(DataSourceWriter):
                 indent=1,
                 sort_keys=True,
             )
-        self._clean_staging()
+        self._clean_staging(messages)
 
     def abort(self, messages) -> None:
-        self._clean_staging()
+        self._clean_staging(messages)
 
-    def _clean_staging(self) -> None:
+    def _clean_staging(self, messages) -> None:
+        """Remove only THIS job's staged files (a concurrent appender's
+        staged-but-uncommitted files may sit in the same _staging dir
+        while it waits on the manifest lock — wiping the whole dir
+        would destroy its committed-message files). Orphans from
+        retried/speculative tasks stay behind harmlessly: _staging is
+        underscore-prefixed so no reader sees it, and the rmdir
+        reclaims the dir once it drains."""
         staging = os.path.join(self.path, STAGING)
-        if os.path.isdir(staging):
-            for f in os.listdir(staging):
-                try:
-                    os.remove(os.path.join(staging, f))
-                except OSError:
-                    pass
+        for m in messages or []:
+            if m is None:
+                continue
             try:
-                os.rmdir(staging)
+                os.remove(m.staged)
             except OSError:
                 pass
+        try:
+            os.rmdir(staging)
+        except OSError:
+            pass
 
 
 class JsonlSinkDataSource(DataSource):

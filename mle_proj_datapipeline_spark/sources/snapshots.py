@@ -193,6 +193,30 @@ def _read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def list_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate child DIRECTORIES of ``path`` ([] when
+    absent), via the session's Hadoop FileSystem — never os.listdir,
+    so partitioned-state roots on hdfs://, s3a://, etc. resolve the
+    same way every other storage-layer listing here does."""
+    fs, _ = _fs(spark, path)
+    jpath = _jpath(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isDirectory()
+    )
+
+
+def delete_dir(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem (idempotent;
+    False when the path was already absent)."""
+    fs, _ = _fs(spark, path)
+    jpath = _jpath(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))
+
+
 def _list(spark: SparkSession, path: str, suffix: str) -> list[str]:
     fs, _ = _fs(spark, path)
     jpath = _jpath(spark, path)

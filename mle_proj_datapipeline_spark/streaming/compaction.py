@@ -33,15 +33,14 @@ partials + the base — O(state), never O(history).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mle_proj_datapipeline_spark.sources.snapshots import (
+    delete_dir,
     expire,
     history,
+    list_subdirs,
     read_snapshot,
     write_snapshot,
 )
@@ -66,11 +65,11 @@ def _watermark_and_base(
     return wm, read_snapshot(spark, root)
 
 
-def _partial_ids(partials_dir: str) -> list[int]:
-    if not os.path.isdir(partials_dir):
-        return []
+def _partial_ids(spark: SparkSession, partials_dir: str) -> list[int]:
+    """Committed batch ids, listed through the Hadoop FileSystem (ADVICE
+    r6 — an os.listdir here would read non-local state as empty)."""
     out = []
-    for entry in os.listdir(partials_dir):
+    for entry in list_subdirs(spark, partials_dir):
         if entry.startswith("batch_id="):
             try:
                 out.append(int(entry.split("=", 1)[1]))
@@ -91,7 +90,7 @@ def served_state(
     wm, base = _watermark_and_base(spark, partials_dir)
     cols = [*key_cols, val_col]
     frames = []
-    if any(bid > wm for bid in _partial_ids(partials_dir)):
+    if any(bid > wm for bid in _partial_ids(spark, partials_dir)):
         frames.append(
             spark.read.parquet(partials_dir)
             .filter(F.col("batch_id") > wm)
@@ -120,17 +119,33 @@ def compact_state(
     snapshot version, or -1 when there is nothing new to fold. The
     commit is atomic (manifest rename), so a crash mid-compaction
     leaves the previous watermark serving — never a double count."""
-    wm, _ = _watermark_and_base(spark, partials_dir)
-    live_ids = [bid for bid in _partial_ids(partials_dir) if bid > wm]
+    wm, base = _watermark_and_base(spark, partials_dir)
+    live_ids = [bid for bid in _partial_ids(spark, partials_dir) if bid > wm]
     if not live_ids:
         return -1
-    merged = served_state(spark, partials_dir, key_cols, val_col)
+    # Build the fold inline, bounded to exactly the batch ids listed
+    # above — NOT via served_state, which re-lists the partials dir at
+    # Spark execution time. A batch committed between the two listings
+    # would be folded into the base without folded_through covering it,
+    # and every later served_state would add it again (permanent double
+    # count). Bounding by (wm, max(live_ids)] makes the fold and the
+    # recorded watermark describe the same file set.
+    folded_through = max(live_ids)
+    cols = [*key_cols, val_col]
+    merged = (
+        spark.read.parquet(partials_dir)
+        .filter((F.col("batch_id") > wm) & (F.col("batch_id") <= folded_through))
+        .select(*cols)
+    )
+    if base is not None:
+        merged = merged.unionByName(base.select(*cols))
+    merged = merged.groupBy(*key_cols).agg(F.sum(val_col).alias(val_col))
     root = compacted_root(partials_dir)
     v = write_snapshot(
         merged,
         root,
         mode="overwrite",
-        meta={"folded_through": max(live_ids)},
+        meta={"folded_through": folded_through},
     )
     # Each fold is a full logical rewrite — old versions are only
     # useful for brief time travel; cap them like the metrics store.
@@ -144,10 +159,8 @@ def gc_state(spark: SparkSession, partials_dir: str) -> list[int]:
     watermark filter already excludes them."""
     wm, _ = _watermark_and_base(spark, partials_dir)
     removed = []
-    for bid in _partial_ids(partials_dir):
+    for bid in _partial_ids(spark, partials_dir):
         if bid <= wm:
-            shutil.rmtree(
-                os.path.join(partials_dir, f"batch_id={bid}"), ignore_errors=True
-            )
+            delete_dir(spark, f"{partials_dir.rstrip('/')}/batch_id={bid}")
             removed.append(bid)
     return removed

@@ -47,12 +47,13 @@ def _latest_snapshot(spark: SparkSession, last_dir: str, before: int) -> DataFra
     streaming batch fails and replays: swallowing it would silently
     drop every cross-boundary pair AND rewrite the last-event snapshot
     from only this batch's users, permanently corrupting future counts
-    (ADVICE r5)."""
-    import os
+    (ADVICE r5). Existence is checked through the session's Hadoop
+    FileSystem (ADVICE r6): a local os.path probe would read committed
+    hdfs://-or-s3a:// state as absent and trigger exactly that
+    corruption on any non-local state root."""
+    from mle_proj_datapipeline_spark.sources.snapshots import list_subdirs
 
-    if not os.path.isdir(last_dir) or not any(
-        n.startswith("batch_id=") for n in os.listdir(last_dir)
-    ):
+    if not any(n.startswith("batch_id=") for n in list_subdirs(spark, last_dir)):
         return None  # first batch: no state committed yet
     snaps = spark.read.parquet(last_dir)
     ids = [r["batch_id"] for r in snaps.select("batch_id").distinct().collect()]

@@ -676,3 +676,31 @@ def test_bpe_apply_arrow_path_matches_expression_chain(spark):
     finally:
         bpe.MAX_EXPR_CHAIN = old
     assert arrow == jvm and len(jvm) == 3
+
+
+def test_covariance_arms_agree_on_dirty_vectors(spark):
+    """ADVICE r6: NULL and wrong-length vectors follow ONE contract in
+    both physical arms — dropped before the moment pass — instead of
+    posexplode silently skipping them in the explode arm while
+    np.asarray(None) crashed the Gramian fold."""
+    from mle_proj_datapipeline_spark.operators.linalg import covariance
+
+    rows = [
+        ([1.0, 2.0, 3.0],),
+        ([4.0, 0.0, -1.0],),
+        (None,),
+        ([9.0, 9.0],),  # wrong length — dropped when dim declared
+        ([2.0, 2.0, 2.0],),
+    ]
+    df = spark.createDataFrame(rows, "embedding ARRAY<DOUBLE>")
+    exp = {
+        (r["i"], r["j"]): r["c"]
+        for r in covariance(df, "embedding", dim=3, method="explode").collect()
+    }
+    grm = {
+        (r["i"], r["j"]): r["c"]
+        for r in covariance(df, "embedding", dim=3, method="gramian").collect()
+    }
+    assert set(exp) == set(grm) and len(exp) == 9
+    for k in exp:
+        assert abs(exp[k] - grm[k]) < 1e-9, (k, exp[k], grm[k])

@@ -223,3 +223,60 @@ def test_jsonl_sink_overwrite_removes_prior_files(spark, tmp_path):
     assert on_disk == {f["file"] for f in man["files"]}
     assert not (old_files & on_disk)
     assert spark.read.json(dest + "/*.jsonl").agg(F.min("id")).collect()[0][0] == 1000
+
+
+def test_jsonl_sink_concurrent_appends_keep_all_files(tmp_path):
+    """ADVICE r6: append-mode commit is a read-modify-write of the
+    manifest; two concurrent committers must serialize (fcntl lock) so
+    neither's part files vanish from the final manifest. Drives the
+    writer's commit() directly from racing threads with pre-staged
+    files — the exact interleaving the lock exists for."""
+    import json
+    import os
+    import threading
+
+    from mle_proj_datapipeline_spark.sources.pysink import (
+        MANIFEST,
+        STAGING,
+        JsonlCommit,
+        JsonlSinkWriter,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(os.path.join(path, STAGING), exist_ok=True)
+
+    def stage(name: str, rows: int) -> JsonlCommit:
+        staged = os.path.join(path, STAGING, name)
+        with open(staged, "w") as fh:
+            for i in range(rows):
+                fh.write(json.dumps({"i": i}) + "\n")
+        return JsonlCommit(staged=staged, rows=rows)
+
+    msgs = [stage(f"part-{k:02d}.jsonl", k + 1) for k in range(8)]
+    barrier = threading.Barrier(4)
+    errors = []
+
+    def committer(batch):
+        w = JsonlSinkWriter({"path": path}, overwrite=False)
+        barrier.wait()
+        try:
+            w.commit(batch)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=committer, args=(msgs[k * 2 : k * 2 + 2],))
+        for k in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    with open(os.path.join(path, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    names = [f["file"] for f in manifest["files"]]
+    assert names == sorted(f"part-{k:02d}.jsonl" for k in range(8)), names
+    assert manifest["total_rows"] == sum(range(1, 9))
+    for n in names:
+        assert os.path.exists(os.path.join(path, n))

@@ -857,3 +857,42 @@ def test_compaction_invariant_under_random_schedules(spark, tmp_path_factory):
                 for r in C.served_state(spark, root, ["key"], "n").collect()
             }
             assert got == truth, f"trial {trial} after batch {bid}: {got} != {truth}"
+
+
+def test_compaction_fold_bounded_to_listed_batches(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (medium): a batch committed BETWEEN compact_state's
+    partial listing and the fold's execution must not be folded into
+    the base (folded_through wouldn't cover it, so every later
+    served_state would add it again — a permanent double count).
+    Simulated deterministically by patching _partial_ids to return a
+    stale listing while the directory really holds one more batch."""
+    from mle_proj_datapipeline_spark.streaming import compaction as C
+
+    root = str(tmp_path / "parts")
+
+    def commit(bid: int, rows):
+        (
+            spark.createDataFrame(rows, "key INT, n BIGINT")
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(root)
+        )
+
+    commit(0, [(1, 10)])
+    commit(1, [(1, 5)])
+    # Batch 2 lands "concurrently": visible to Spark's scan at fold
+    # execution time, but NOT in the listing compact_state acted on.
+    real_ids = C._partial_ids(spark, root)
+    commit(2, [(1, 7)])
+    monkeypatch.setattr(C, "_partial_ids", lambda _s, _d: real_ids)
+    assert C.compact_state(spark, root, ["key"], "n") >= 0
+    monkeypatch.undo()
+
+    served = {r["key"]: r["n"] for r in C.served_state(spark, root, ["key"], "n").collect()}
+    assert served == {1: 22}, f"late batch double-counted or lost: {served}"
+    # And after folding batch 2 too, still exactly once.
+    C.compact_state(spark, root, ["key"], "n")
+    served = {r["key"]: r["n"] for r in C.served_state(spark, root, ["key"], "n").collect()}
+    assert served == {1: 22}
