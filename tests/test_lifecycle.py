@@ -60,97 +60,6 @@ def test_state_carries_across_microbatches(spark, metrics_pdf, tmp_path_factory)
     assert got == want and len(got) > 0
 
 
-def _protobuf_available() -> bool:
-    """transformWithState's Python state-server protocol rides protobuf;
-    without it the streaming runner crashes at init. Gate, don't fail —
-    the operator is exercised wherever the dependency exists."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-needs_protobuf = pytest.mark.skipif(
-    not _protobuf_available(),
-    reason="transformWithStateInPandas requires google.protobuf at runtime",
-)
-
-
-def _with_rocksdb(spark):
-    """transformWithState requires the RocksDB state-store provider;
-    scope it to the query start and restore the session default after."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def ctx():
-        key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(
-            key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            yield
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
-
-    return ctx()
-
-
-@needs_protobuf
-def test_tws_stream_equals_batch(spark, metrics_pdf, tmp_path_factory):
-    """transformWithStateInPandas twin: same decisions as the batch fold
-    and the applyInPandasWithState form (one micro-batch)."""
-    from mle_proj_datapipeline_spark.streaming.lifecycle import decide_stream_tws
-
-    land = str(tmp_path_factory.mktemp("metrics_tws"))
-    metrics = spark.createDataFrame(metrics_pdf)
-    metrics.coalesce(1).write.mode("overwrite").parquet(land)
-    stream = W.file_stream(spark, land, metrics.schema)
-    with _with_rocksdb(spark):
-        q = W.run_to_memory(
-            decide_stream_tws(stream), "lifecycle_tws", output_mode="append"
-        )
-        q.awaitTermination(120)
-    got = _decisions_dict(spark.table("lifecycle_tws").collect())
-    want = _decisions_dict(decide_batch(metrics).collect())
-    assert got == want and len(got) > 0
-
-
-@needs_protobuf
-def test_tws_state_carries_across_microbatches(spark, metrics_pdf, tmp_path_factory):
-    """ValueState must persist across micro-batches exactly like the
-    GroupState form: two files, one per trigger, same decisions."""
-    from mle_proj_datapipeline_spark.streaming.lifecycle import decide_stream_tws
-
-    land = str(tmp_path_factory.mktemp("metrics_tws2"))
-    metrics = spark.createDataFrame(metrics_pdf)
-    cut = sorted(metrics_pdf["week"].unique())[len(metrics_pdf["week"].unique()) // 2]
-    metrics.filter(metrics.week < cut).coalesce(1).write.mode("overwrite").parquet(
-        land + "/b1"
-    )
-    metrics.filter(metrics.week >= cut).coalesce(1).write.mode("overwrite").parquet(
-        land + "/b2"
-    )
-    stream = W.file_stream(
-        spark, land + "/*", metrics.schema, max_files_per_trigger=1
-    )
-    with _with_rocksdb(spark):
-        q = W.run_to_memory(
-            decide_stream_tws(stream), "lifecycle_tws2", output_mode="append"
-        )
-        q.awaitTermination(180)
-    got = _decisions_dict(spark.table("lifecycle_tws2").collect())
-    want = _decisions_dict(decide_batch(metrics).collect())
-    assert got == want and len(got) > 0
-
-
 def test_decision_properties(spark, metrics_pdf):
     """Every arm fires on the panel; retrains are never > STALE_DAYS
     apart; 'stale' implies the gap actually reached STALE_DAYS."""
