@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from mle_proj_datapipeline_spark.operators.dedup import h31
+from mle_proj_datapipeline_spark.operators.hashing import h31
 
 CM_DEPTH = 3
 CM_WIDTH = 256

@@ -11,7 +11,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-from mle_proj_datapipeline_spark.operators.dedup import P31, h31
+from mle_proj_datapipeline_spark.operators.hashing import P31, h31
 
 # Tiny stopword lists per language for the n-gram/stopword heuristic.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {

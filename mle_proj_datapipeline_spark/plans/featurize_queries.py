@@ -53,7 +53,7 @@ def feature_hashing_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket) — no vocabulary join, unlike TF-IDF; width is a
     constant, so output is ≤ docs × buckets regardless of vocabulary
     growth. All-integer arithmetic, bit-identical cross-engine."""
-    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.operators.hashing import h31
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from mle_proj_datapipeline_spark.operators.dedup import P31, h31
+from mle_proj_datapipeline_spark.operators.hashing import P31, h31
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
 from mle_proj_datapipeline_spark.sources.metrics import (

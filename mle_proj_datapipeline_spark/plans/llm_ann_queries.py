@@ -9,7 +9,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from mle_proj_datapipeline_spark.operators import similarity as sim
+from mle_proj_datapipeline_spark.operators import ann_ivf as _ivf
+from mle_proj_datapipeline_spark.operators import ann_lsh as _lsh
+from mle_proj_datapipeline_spark.operators import kmeans as _km
+from mle_proj_datapipeline_spark.operators import veclib as _vl
 from mle_proj_datapipeline_spark.plans.llm_common import _COSINE, _bucket_sql
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
@@ -35,17 +38,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbors for the first 50 vectors — the
     brute-force baseline (broadcast queries, no candidate shuffle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+    return _vl.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
 
 
 # --------------------------------------------------------------------------
 # Similarity: hyperplane-LSH bucketed top-1
 # --------------------------------------------------------------------------
 def _lsh_band_planes() -> list[list[list[float]]]:
-    allp = sim.hyperplanes(sim.BANDS * sim.PLANES_PER_BAND)
+    allp = _vl.hyperplanes(_vl.BANDS * _vl.PLANES_PER_BAND)
     return [
-        allp[b * sim.PLANES_PER_BAND : (b + 1) * sim.PLANES_PER_BAND]
-        for b in range(sim.BANDS)
+        allp[b * _vl.PLANES_PER_BAND : (b + 1) * _vl.PLANES_PER_BAND]
+        for b in range(_vl.BANDS)
     ]
 
 
@@ -79,11 +82,11 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-plane sign-bit bucket keys per vector, candidates = union of
     same-bucket pairs across bands (ids-only shuffle + distinct), exact
     cosine rerank on the surviving pairs. Bucket count per band scales
-    with the corpus via sim.planes_per_band_for — expected bucket size
+    with the corpus via _vl.planes_per_band_for — expected bucket size
     stays constant at 100×, so the within-bucket join never goes
     quadratic (fix for the fixed-256-bucket round-1 geometry)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.lsh_top1(emb)
+    return _lsh.lsh_top1(emb)
 
 
 # --------------------------------------------------------------------------
@@ -92,19 +95,19 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_dist_sql(vec: str, centroid: list[float]) -> str:
     lits = "[" + ", ".join(repr(v) for v in centroid) + "]"
     return (
-        f"list_reduce(list_transform(range(1, {sim.EMB_DIM + 1}), "
+        f"list_reduce(list_transform(range(1, {_vl.EMB_DIM + 1}), "
         f"i -> (CAST({vec}[i] AS DOUBLE) - ({lits})[i]) * (CAST({vec}[i] AS DOUBLE) - ({lits})[i])), "
         "(acc, v) -> acc + v)"
     )
 
 
 def _ivf_oracle() -> str:
-    cs = sim.ivf_centroids()
+    cs = _vl.ivf_centroids()
     d_arr = "[" + ", ".join(_ivf_dist_sql("embedding", c) for c in cs) + "]"
     cell = f"list_position({d_arr}, list_min({d_arr}))"
     probes = (
         f"list_transform(list_sort(list_transform(range(1, {len(cs)} + 1), "
-        f"k -> {{'dist': ({d_arr})[k], 'idx': k}}))[1:{sim.NUM_PROBES}], s -> s.idx)"
+        f"k -> {{'dist': ({d_arr})[k], 'idx': k}}))[1:{_vl.NUM_PROBES}], s -> s.idx)"
     )
     return f"""
     WITH c AS (SELECT vec_id AS neighbor_id, embedding, {cell} AS cell FROM embeddings),
@@ -130,7 +133,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     second scale path (complements hyperplane LSH; per-query work is
     probed-cells-sized, shuffle key is the cell id)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+    return _ivf.ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
 
 
 # --------------------------------------------------------------------------
@@ -141,7 +144,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
-        FROM embeddings, range(1, {sim.EMB_DIM + 1}) t(i)),
+        FROM embeddings, range(1, {_vl.EMB_DIM + 1}) t(i)),
     c AS (SELECT label, i, avg(v) AS m, count(*) AS n FROM e GROUP BY label, i),
     g AS (SELECT i, avg(v) AS gm FROM e GROUP BY i),
     dots AS (
@@ -201,7 +204,7 @@ def _kmeans_cte_prefix() -> str:
     first assign → c1 updated centroids → d2/a2 final assign. Reused by
     the quantizer query and the trained-IVF query so both verify the
     SAME training math."""
-    init = sim.ivf_centroids()
+    init = _vl.ivf_centroids()
     vals = ", ".join(
         f"({cell + 1}, {i + 1}, {float(v)!r})"
         for cell, c in enumerate(init)
@@ -210,7 +213,7 @@ def _kmeans_cte_prefix() -> str:
     return f"""c0(cell, i, m) AS (VALUES {vals}),
     v AS (
         SELECT vec_id AS vid, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
-        FROM embeddings, range(1, {sim.EMB_DIM + 1}) t(i)),
+        FROM embeddings, range(1, {_vl.EMB_DIM + 1}) t(i)),
     d1 AS (
         SELECT vid, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
         FROM v JOIN c0 USING (i) GROUP BY vid, cell),
@@ -253,7 +256,7 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     every mean and every argmin is hash-verified. Output: per-cell
     membership and inertia."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = sim.kmeans_iterate(emb, iterations=2)
+    assigned = _km.kmeans_iterate(emb, iterations=2)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("dist_sq"), 4).alias("inertia"),
@@ -297,7 +300,7 @@ def semantic_dedup_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (cell, dist) pairs. The oracle re-derives the full training run
     (shared CTE prefix), so the kept/dropped decision is hash-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = sim.kmeans_iterate(emb, iterations=2)
+    assigned = _km.kmeans_iterate(emb, iterations=2)
     n = F.count(F.lit(1))
     return assigned.groupBy("cell").agg(
         F.min_by("vid", F.struct("dist_sq", "vid")).alias("kept_vec_id"),
@@ -322,7 +325,7 @@ def _ivf_trained_oracle() -> str:
             SELECT query_id, cell,
                    row_number() OVER (PARTITION BY query_id
                        ORDER BY dist_sq ASC, cell ASC) AS rk
-            FROM qd) WHERE rk <= {sim.NUM_PROBES}),
+            FROM qd) WHERE rk <= {_vl.NUM_PROBES}),
     scored AS (
         SELECT p.query_id, c.neighbor_id, {_COSINE} AS cosine
         FROM probes p JOIN cand c USING (cell)
@@ -341,7 +344,7 @@ def _ivf_trained_oracle() -> str:
 @register("ann_ivf_trained_topk", oracle=_ivf_trained_oracle())
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN whose coarse quantizer is the TRAINED k-means codebook
-    (sim.kmeans_fit — two unrolled Lloyd iterations from the H31 init),
+    (_km.kmeans_fit — two unrolled Lloyd iterations from the H31 init),
     closing the "ivf_topk doesn't consume the trainer" gap: candidate
     cells are the final k-means assignment, query probe lists score
     against the same trained centroid rows, exact cosine rerank within
@@ -349,7 +352,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE prefix with kmeans_embedding_cells) plus the probe/rerank, so
     codebook, assignment, probes, and ranking are all hash-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_trained_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+    return _ivf.ivf_trained_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
 
 
 @register("ann_ivf_indexed_topk", oracle=_ivf_trained_oracle())
@@ -370,10 +373,10 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     root = os.path.join(warehouse_root(), f"ivf_index_{tag}")
-    sim.ivf_index_build(emb, root)
+    _ivf.ivf_index_build(emb, root)
     expire(spark, f"{root}/codebook", keep_last=3)
     expire(spark, f"{root}/assignment", keep_last=3)
-    return sim.ivf_index_topk(spark, emb.filter(F.col("vec_id") < 50), root, k=3)
+    return _ivf.ivf_index_topk(spark, emb.filter(F.col("vec_id") < 50), root, k=3)
 
 
 @register(
@@ -426,12 +429,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     methodology."""
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = (
-        sim.lsh_top1(emb)
+        _lsh.lsh_top1(emb)
         .filter(F.col("query_id") < 50)
         .select("query_id", "neighbor_id")
     )
     bf = (
-        sim.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
+        _vl.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
     j = lsh.join(bf, ["query_id", "neighbor_id"], "left")
@@ -472,7 +475,7 @@ def _source_fingerprint(sf_dir: str, table: str) -> str:
 @register("ann_lsh_indexed_top1", oracle=_LSH_TOP1_ORACLE)
 def ann_lsh_indexed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN top-1 served from the PERSISTED signature index
-    (sim.lsh_index_build / lsh_index_topk) — same oracle as
+    (_lsh.lsh_index_build / lsh_index_topk) — same oracle as
     ann_lsh_top1, because serving from the committed banded table must
     reproduce the in-query path exactly. The index builds once per
     corpus and is rebuilt when absent, when the committed geometry meta
@@ -492,11 +495,11 @@ def ann_lsh_indexed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     root = os.path.join(warehouse_root(), f"lsh_index_{tag}")
     want = {
-        "bands": sim.BANDS,
-        "planes_per_band": sim.PLANES_PER_BAND,
+        "bands": _vl.BANDS,
+        "planes_per_band": _vl.PLANES_PER_BAND,
         "source": _source_fingerprint(sf_dir, "embeddings"),
     }
-    if sim.lsh_index_geometry(spark, root) != want:
-        sim.lsh_index_build(emb, root, meta_extra={"source": want["source"]})
+    if _lsh.lsh_index_geometry(spark, root) != want:
+        _lsh.lsh_index_build(emb, root, meta_extra={"source": want["source"]})
         expire(spark, f"{root}/signatures", keep_last=3)
-    return sim.lsh_index_topk(spark, root, k=1)
+    return _lsh.lsh_index_topk(spark, root, k=1)

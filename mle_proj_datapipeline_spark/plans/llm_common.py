@@ -10,8 +10,8 @@ cross-engine hash primitive.
 
 from __future__ import annotations
 
-from mle_proj_datapipeline_spark.operators import dedup as dd
-from mle_proj_datapipeline_spark.operators import similarity as sim
+from mle_proj_datapipeline_spark.operators import hashing as dd
+from mle_proj_datapipeline_spark.operators import veclib as sim
 
 P = dd.P31
 

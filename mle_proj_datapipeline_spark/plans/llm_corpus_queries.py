@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from mle_proj_datapipeline_spark.operators import dedup as dd
+from mle_proj_datapipeline_spark.operators import hashing as dd
 from mle_proj_datapipeline_spark.plans.llm_common import _SH, _h31
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table

@@ -9,7 +9,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from mle_proj_datapipeline_spark.operators import dedup as dd
+from mle_proj_datapipeline_spark.operators import cc as _cc
+from mle_proj_datapipeline_spark.operators import hashing as _hs
+from mle_proj_datapipeline_spark.operators import minhash as _mh
+from mle_proj_datapipeline_spark.operators import simhash_ngram as _sn
 from mle_proj_datapipeline_spark.plans.llm_common import (
     _JACCARD,
     _SH,
@@ -31,8 +34,8 @@ from mle_proj_datapipeline_spark.sources.catalog import load_table
     sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
     bands AS (
         SELECT doc_id, t.b AS band_idx,
-               array_to_string(list_slice(sig, t.b*{dd.LSH_ROWS}+1, t.b*{dd.LSH_ROWS}+{dd.LSH_ROWS}), '_') AS band_key
-        FROM sig, range(0, {dd.LSH_BANDS}) t(b)),
+               array_to_string(list_slice(sig, t.b*{_hs.LSH_ROWS}+1, t.b*{_hs.LSH_ROWS}+{_hs.LSH_ROWS}), '_') AS band_key
+        FROM sig, range(0, {_hs.LSH_BANDS}) t(b)),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -47,7 +50,7 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.5. The scale path for near-dedup at 100 TB: linear shingling, one
     band-bucket shuffle, verification only within buckets."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+    return _mh.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
 
 
 # --------------------------------------------------------------------------
@@ -61,8 +64,8 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
     bands AS (
         SELECT doc_id, t.b AS band_idx,
-               array_to_string(list_slice(sig, t.b*{dd.LSH_ROWS}+1, t.b*{dd.LSH_ROWS}+{dd.LSH_ROWS}), '_') AS band_key
-        FROM sig, range(0, {dd.LSH_BANDS}) t(b)),
+               array_to_string(list_slice(sig, t.b*{_hs.LSH_ROWS}+1, t.b*{_hs.LSH_ROWS}+{_hs.LSH_ROWS}), '_') AS band_key
+        FROM sig, range(0, {_hs.LSH_BANDS}) t(b)),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -91,8 +94,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same transitive closure with a recursive CTE. This is the
     consumable dedup artifact: keep one canonical doc per cluster_id."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
-    comps = dd.connected_components_star(pairs)
+    pairs = _mh.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+    comps = _cc.connected_components_star(pairs)
     return comps.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
@@ -106,7 +109,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {_SH} AS sh,
                array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
                  || '|' ||
-                 CAST(CAST(floor(len(string_split(text, ' ')) / {float(dd.LEN_BAND_WIDTH)}) AS BIGINT) AS VARCHAR)
+                 CAST(CAST(floor(len(string_split(text, ' ')) / {float(_hs.LEN_BAND_WIDTH)}) AS BIGINT) AS VARCHAR)
                  AS b
         FROM documents),
     keep AS (SELECT b FROM d GROUP BY b HAVING count(*) <= 64),
@@ -122,7 +125,7 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash LSH. The composite key + cap bound per-block join cost, so a
     boilerplate prefix can't go quadratic at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(
+    return _sn.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_k=3, threshold=0.5, max_block=64
     )
 
@@ -141,8 +144,8 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (SELECT doc_id, {_SIMHASH_FP} AS fp FROM t),
     blocks AS (
         SELECT doc_id, fp, k.b AS blk_idx,
-               (fp >> ({dd.SIMHASH_BLOCK_BITS}*k.b)) & {(1 << dd.SIMHASH_BLOCK_BITS) - 1} AS blk_key
-        FROM fp, range(0, {dd.SIMHASH_BLOCKS}) k(b)),
+               (fp >> ({_hs.SIMHASH_BLOCK_BITS}*k.b)) & {(1 << _hs.SIMHASH_BLOCK_BITS) - 1} AS blk_key
+        FROM fp, range(0, {_hs.SIMHASH_BLOCKS}) k(b)),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a, b.doc_id AS id_b, b.fp AS fp_b
         FROM blocks a JOIN blocks b
@@ -155,7 +158,7 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dups (hamming ≤ 2) with pigeonhole byte-block
     candidate generation."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=2)
+    return _sn.simhash_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
 # --------------------------------------------------------------------------
@@ -196,8 +199,8 @@ def exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
     bands AS (
         SELECT doc_id, t.b AS band_idx,
-               array_to_string(list_slice(sig, t.b*{dd.LSH_ROWS}+1, t.b*{dd.LSH_ROWS}+{dd.LSH_ROWS}), '_') AS band_key
-        FROM sig, range(0, {dd.LSH_BANDS}) t(b)),
+               array_to_string(list_slice(sig, t.b*{_hs.LSH_ROWS}+1, t.b*{_hs.LSH_ROWS}+{_hs.LSH_ROWS}), '_') AS band_key
+        FROM sig, range(0, {_hs.LSH_BANDS}) t(b)),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -229,8 +232,8 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus and broadcasts; the corpus itself never
     shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
-    comps = dd.connected_components(pairs)
+    pairs = _mh.minhash_lsh_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.5)
+    comps = _cc.connected_components(pairs)
     dropped = comps.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
-from mle_proj_datapipeline_spark.operators import similarity as sim
+from mle_proj_datapipeline_spark.operators import veclib as sim
 from mle_proj_datapipeline_spark.plans.llm_common import _BUCKET, _COSINE, _h31
 # --------------------------------------------------------------------------
 # Dedup: embedding-cosine near-dup (LSH-bucketed candidates)
@@ -78,7 +78,7 @@ def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content-hash sampling is reproducible across runs, engines, and
     cluster sizes — `df.sample(seed=)` is not (partition-dependent)."""
     o = load_table(spark, sf_dir, "orders")
-    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.operators.hashing import h31
 
     rate = F.lit(0)
     for k, v in _RATES.items():
@@ -274,7 +274,7 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds with durable per-round checkpoints, and survivorship is one
     window + one groupBy on the cluster id. Nothing is quadratic in the
     entity count."""
-    from mle_proj_datapipeline_spark.operators import dedup as dd
+    from mle_proj_datapipeline_spark.operators import cc as dd
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer").select(

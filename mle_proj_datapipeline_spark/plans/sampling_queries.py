@@ -47,7 +47,7 @@ def pps_orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster layouts, unlike ``df.sample(seed=)`` (partition-dependent,
     reference utils/model_operations.py:79-85). Map-only: no shuffle,
     filter evaluated at the scan."""
-    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.operators.hashing import h31
 
     o = load_table(spark, sf_dir, "orders")
     w_int = F.floor(F.col("o_totalprice")).cast("bigint")
@@ -78,7 +78,7 @@ def uniform_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY+LIMIT as TakeOrderedAndProject: each partition keeps its
     local top-500 by hash, the driver merges 500·P candidate rows —
     no global sort, no full shuffle, scale-safe at any corpus size."""
-    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.operators.hashing import h31
 
     o = load_table(spark, sf_dir, "orders")
     return (

@@ -342,7 +342,7 @@ def cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     variances use explicit moment algebra so both engines run the same
     arithmetic. Output is 2 rows — variance columns visibly shrink
     under CUPED while means are preserved."""
-    from mle_proj_datapipeline_spark.operators.dedup import h31
+    from mle_proj_datapipeline_spark.operators.hashing import h31
 
     ev = load_table(spark, sf_dir, "events")
     split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")

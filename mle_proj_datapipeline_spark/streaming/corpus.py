@@ -30,7 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 from pyspark.sql.utils import AnalysisException
 
-from mle_proj_datapipeline_spark.operators.dedup import exact_dedup
+from mle_proj_datapipeline_spark.operators.hashing import exact_dedup
 from mle_proj_datapipeline_spark.streaming.weekly import file_stream
 
 # Gopher-style keep rules (plans/llm_text_queries.doc_repetition_quality)
