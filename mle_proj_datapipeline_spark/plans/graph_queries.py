@@ -168,19 +168,17 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("ci"))
     )
+    # Pair supports come from the shared persisted edge snapshot (w =
+    # co-occurrence count under the same cap) — the heavy fan-out is
+    # built once per corpus fingerprint, not per invocation.
     pair = (
-        kept.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ss, x -> "
-                    "transform(filter(ss, y -> y > x), "
-                    "y -> struct(x AS pa, y AS pb))))"
-                )
-            ).alias("p")
+        ensure_cooccurrence_edges(spark, sf_dir, "l_partkey", "cooccur_part")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("pa"),
+            F.col("dst").alias("pb"),
+            F.col("w").alias("cp"),
         )
-        .select("p.pa", "p.pb")
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cp"))
         .filter(F.col("cp") >= 2)
     )
     ia = item.select(F.col("l_partkey").alias("pa"), F.col("ci").alias("cia"))
@@ -242,16 +240,10 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-iterator shape. All equi-joins on bounded keys; at production
     scale orient by DEGREE instead of id so high-degree hubs don't own
     every wedge (noted, same plan shape)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .dropDuplicates()
-    )
     e = (
-        cooccurrence_pairs(li, "l_orderkey", "l_suppkey", directed=True)
-        .withColumnRenamed("src", "u")
-        .withColumnRenamed("dst", "v")
-        .dropDuplicates()
+        ensure_cooccurrence_edges(spark, sf_dir, "l_suppkey", "cooccur_supp")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .localCheckpoint()
     )
     wedge = e.alias("e1").join(
@@ -273,4 +265,74 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(25)
         .select(F.col("node").alias("s_suppkey"), "n_triangles")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared persisted edge store + serve-path PageRank (VERDICT r6 item 3)
+# --------------------------------------------------------------------------
+def ensure_cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, val_col: str, name: str
+) -> DataFrame:
+    """Fingerprint-pinned WEIGHTED co-occurrence edge snapshot, shared
+    by the whole graph family (VERDICT r6 item 3: pagerank, triangles,
+    and association rules each rebuilt the same capped pair fan-out
+    from lineitem per invocation).
+
+    Returns (src, dst, w) with both orientations of every unordered
+    pair and w = number of orders whose capped set contains both — the
+    one relation every family member derives from: pagerank drops w,
+    triangles/rules filter src < dst (w IS the pair support). Built
+    once per (corpus fingerprint, cap) through the snapshot layer's
+    atomic commit; steady state is one manifest read + a parquet scan
+    of the |E|-sized snapshot, no lineitem pass. Same pinning
+    discipline as the LSH/IVF indexes and the served count models
+    (plans/served_queries.py)."""
+    import os
+
+    from mle_proj_datapipeline_spark.sources.catalog import source_fingerprint
+    from mle_proj_datapipeline_spark.sources.metrics import warehouse_root
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        expire,
+        history,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    root = os.path.join(warehouse_root(), f"{name}_{tag}")
+    want = f"{source_fingerprint(sf_dir, 'lineitem')}|cap={MAX_COOCCUR_SET}"
+    snaps = history(spark, root)
+    if snaps and (snaps[-1].get("meta") or {}).get("source") == want:
+        return read_snapshot(spark, root)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", val_col)
+    edges = (
+        cooccurrence_pairs(li, "l_orderkey", val_col, directed=False)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    write_snapshot(edges, root, mode="overwrite", meta={"source": want})
+    expire(spark, root, keep_last=2)
+    return read_snapshot(spark, root)
+
+
+@register("supplier_pagerank_served", oracle=_pagerank_oracle())
+def supplier_pagerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank served from the PERSISTED co-occurrence edge snapshot
+    (ensure_cooccurrence_edges): steady state never touches lineitem —
+    the power iteration runs directly over the committed (src, dst)
+    relation. Same oracle as ``supplier_pagerank``, because the edge
+    snapshot is exactly the relation the build path constructs;
+    ``supplier_pagerank`` stays registered as the build-path
+    measurement (the discipline of bigram_lm_scores_served /
+    ann_lsh_indexed_top1). validate=False: both orientations are
+    persisted, so the graph is symmetric by construction."""
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+
+    edges = ensure_cooccurrence_edges(spark, sf_dir, "l_suppkey", "cooccur_supp")
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, validate=False
+    )
+    return ranks.select(
+        F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pr")
     )

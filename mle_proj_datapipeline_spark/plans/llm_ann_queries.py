@@ -451,25 +451,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_fingerprint(sf_dir: str, table: str) -> str:
-    """Content fingerprint of a source table's files (path, size, mtime
-    per file) — NO data scan; the staleness key for a persisted index.
-    The testdata parquet is regenerated between driver rounds, so an
-    index keyed on geometry alone would silently serve the OLD corpus."""
-    import hashlib
-    import os
+    """Staleness key for a persisted index — see
+    sources/catalog.source_fingerprint (moved there so other families
+    can pin snapshots without importing this module's closure)."""
+    from mle_proj_datapipeline_spark.sources.catalog import source_fingerprint
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    parts = []
-    if os.path.isdir(path):
-        for dirpath, _, names in sorted(os.walk(path)):
-            for n in sorted(names):
-                p = os.path.join(dirpath, n)
-                st = os.stat(p)
-                parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(path):
-        st = os.stat(path)
-        parts.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
+    return source_fingerprint(sf_dir, table)
 
 
 @register("ann_lsh_indexed_top1", oracle=_LSH_TOP1_ORACLE)

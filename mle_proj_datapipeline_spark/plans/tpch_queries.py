@@ -289,7 +289,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pv AS (
         SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
         FROM lineitem GROUP BY l_partkey),
-    tot AS (SELECT round(0.001 * sum(part_value), 6) AS threshold FROM pv)
+    tot AS (SELECT round(1.5 * avg(part_value), 6) AS threshold FROM pv)
     SELECT pv.l_partkey, pv.part_value
     FROM pv, tot
     WHERE pv.part_value > tot.threshold
@@ -304,8 +304,13 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("part_value")
     )
+    # Threshold is 1.5x the MEAN part value (i.e. fraction 1.5/|parts|
+    # of the total): a fixed global fraction goes empty as |parts|
+    # grows with SF (VERDICT r6 item 4) — the mean-relative form keeps
+    # the Q11 above-global-fraction shape AND a non-empty answer at
+    # every scale.
     tot = pv.agg(
-        F.round(F.lit(0.001) * F.sum("part_value"), 6).alias("threshold")
+        F.round(F.lit(1.5) * F.avg("part_value"), 6).alias("threshold")
     )
     return (
         pv.crossJoin(F.broadcast(tot))
@@ -534,7 +539,8 @@ def late_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c, t
     WHERE c.c_acctbal > t.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY cust_bucket
     ORDER BY cust_bucket
     """,
@@ -547,7 +553,18 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.filter(F.col("c_acctbal") > 0).agg(
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
     )
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # "Idle" = no orders since 2000-01-01: the synthetic testdata gives
+    # nearly every customer at least one order over the full 1995-2001
+    # range, so the pure NOT EXISTS returned 0 rows at every test SF
+    # and the oracle row proved only 0 == 0 (VERDICT r6 item 4). The
+    # date-bounded anti-join keeps the Q22 shape (scalar AVG subquery +
+    # NOT EXISTS) with a non-empty, SF-stable answer; the predicate
+    # prunes the orders scan before the anti-join.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(t))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))

@@ -57,3 +57,25 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     tables the DuckDB oracle sees."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a source table's files (path, size, mtime
+    per file) — NO data scan; the staleness key for a persisted index
+    or derived snapshot. The testdata parquet is regenerated between
+    driver rounds, so state keyed on geometry alone would silently
+    serve the OLD corpus."""
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for dirpath, _, names in sorted(os.walk(path)):
+            for n in sorted(names):
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
