@@ -36,6 +36,7 @@ import mle_proj_datapipeline_spark.plans.stats_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.linalg_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.featurize_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.served_queries  # noqa: F401,E402
+import mle_proj_datapipeline_spark.plans.feature_store  # noqa: F401,E402
 from mle_proj_datapipeline_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 from mle_proj_datapipeline_spark.session import tune_session  # noqa: E402
 
