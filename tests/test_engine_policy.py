@@ -36,7 +36,8 @@ COLLECT_ALLOWED = {
     # driver-side scalars/dictionaries by design (small, documented):
     "operators/encode.py",  # global dictionary build
     "operators/impute.py",  # imputation stats
-    "operators/similarity.py",  # kmeans min/max? (none today; listed sites below)
+    "operators/kmeans.py",  # k-means codebook collect (k·dim, driver-held)
+    "operators/ann_ivf.py",  # trained/pinned codebook collect (k·dim)
     "streaming/gold.py",  # partition-value listings
     "sources/snapshots.py",  # z-order min/max bounds (1 row)
     "plans/lifecycle_queries.py",  # none today
