@@ -1,6 +1,6 @@
 """Driver-local union-find for SMALL edge lists.
 
-The distributed connected-components kernels (operators/dedup.py) pay
+The distributed connected-components kernels (operators/cc.py) pay
 several shuffle/checkpoint jobs PER ROUND — the right trade when the
 pair list is millions of rows, pure overhead when it is hundreds (a
 near-dup pair list is usually a tiny fraction of the corpus). Both

@@ -1,6 +1,6 @@
 """Iterative graph centrality on DataFrames: PageRank.
 
-Complements the connected-components family (operators/dedup.py:400) —
+Complements the connected-components family (operators/cc.py) —
 CC answers "which docs are the same", PageRank answers "which nodes
 matter". In a training-data pipeline this ranks sources/domains by
 link-graph importance (the classic corpus-quality prior used for crawl
@@ -45,7 +45,7 @@ def cooccurrence_pairs(
     all-pairs join across keys.
 
     ``max_set`` is the declared per-key skew cap (VERDICT r5 item 3 —
-    the ``max_block`` discipline of operators/dedup.ngram_jaccard_pairs):
+    the ``max_block`` discipline of operators/simhash_ngram.ngram_jaccard_pairs):
     only the ``max_set`` SMALLEST values of each key participate, so a
     hot container (one key holding 10⁵ values on a general
     co-occurrence graph) fans out to at most max_set² structs instead
@@ -147,12 +147,14 @@ def pagerank(
     ``localCheckpoint``); tests pass the identity to inspect the FULL
     iteration plan and gate on its join strategies.
     """
-    # Lazy checkpoint: lineage still truncates (blocks materialize at
-    # first use), but the 2-jobs-per-round eager scheduling overhead
-    # disappears — the whole fixed-round loop executes as one job chain
-    # (measured ~15% off the warm sf0.1 wall). The edge list below
-    # stays EAGER: it is reused by every round and by the validate
-    # probe, so its one up-front job pays for itself.
+    # Lazy checkpoint: lineage still truncates and blocks still
+    # materialize exactly once (at first use), but the 2-jobs-per-round
+    # eager scheduling overhead disappears — the fixed-round loop
+    # executes as one job chain (measured ~15% off the warm sf0.1
+    # wall). The edge frames are forced early anyway: the |V| count
+    # below materializes `nodes` (and `e` transitively), and `ed`
+    # materializes in round 1 and serves every later round from its
+    # cached blocks.
     cut = (
         (lambda df: df.localCheckpoint(eager=False))
         if checkpointer is None

@@ -4,7 +4,7 @@ llm_corpus_queries; SURVEY.md §7 phase 6).
 
 Oracle SQL is *generated* from the same constants the Spark operators
 use (hash multipliers, LSH geometry, hyperplanes), so both engines build
-byte-identical hash families. See operators/dedup.py for the H31
+byte-identical hash families. See operators/hashing.py for the H31
 cross-engine hash primitive.
 """
 
@@ -17,7 +17,7 @@ P = dd.P31
 
 # ---- shared DuckDB SQL fragments (generated from module constants) -------
 
-# distinct word-3-gram shingles of `text` (matches operators/dedup.word_shingles)
+# distinct word-3-gram shingles of `text` (matches operators/hashing.word_shingles)
 _SH = (
     "list_distinct(list_transform("
     "range(1, greatest(len(string_split(text,' '))-2, 1)+1), "
@@ -43,7 +43,7 @@ _JACCARD = (
 )
 
 # 60-bit SimHash over H60 token hashes (full 15-hex-digit md5 prefix, no
-# modulus) — matches operators/dedup.simhash bit-for-bit.
+# modulus) — matches operators/simhash_ngram.simhash bit-for-bit.
 _SIMHASH_FP = (
     f"CAST(list_sum(list_transform(range(0, {dd.SIMHASH_BITS}), j -> "
     "CASE WHEN list_sum(list_transform(hs, x -> "

@@ -87,7 +87,7 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs folded into clusters via alternating
-    large-star/small-star rounds (operators/dedup
+    large-star/small-star rounds (operators/cc
     .connected_components_star, O(log² n) rounds on any graph shape —
     chains included, unlike plain min-label propagation);
     cluster_id = smallest doc_id in the component. The oracle computes

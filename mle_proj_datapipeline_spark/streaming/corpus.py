@@ -8,7 +8,7 @@ result is an append-only canonical corpus that stays exact-deduped
 under re-delivery, overlapping batches, and restarts:
 
 - within-batch: keep-first window over md5(content)
-  (operators/dedup.exact_dedup — deterministic, not dropDuplicates).
+  (operators/hashing.exact_dedup — deterministic, not dropDuplicates).
 - against history: left-anti join on the content hash of the existing
   corpus — re-delivered or re-landed docs can't re-enter.
 - exactly-once file handling comes from the stream checkpoint;
@@ -18,7 +18,7 @@ under re-delivery, overlapping batches, and restarts:
 Scale: per-batch cost is O(batch + corpus-hash column scan). The
 anti-join reads ONE column (the hash) of the sink — at 100 TB keep the
 corpus hash index as its own slim table (same pattern as the MinHash
-signature snapshot, operators/dedup.minhash_lsh_pairs_delta) instead
+signature snapshot, operators/minhash.minhash_lsh_pairs_delta) instead
 of scanning the wide corpus; the hook is the ``hash_index`` argument.
 """
 
