@@ -48,7 +48,7 @@ listats AS (
            round(sum(l.l_discount), 2) / count(*) AS avg_discount
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1),
-gmean AS (SELECT avg(avg_order_value) AS g FROM ostats)
+gmean AS (SELECT round(avg(avg_order_value), 4) AS g FROM ostats)
 SELECT c.c_custkey,
        n.n_name AS nation,
        {", ".join(f"CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END AS seg_{s}" for s in SEGMENT_CATS)},
@@ -106,7 +106,13 @@ def feature_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_discount"),
         )
     )
-    gmean = ostats.agg(F.avg("avg_order_value").alias("__gmean"))
+    # The global mean folds per-customer values in partition order, so
+    # it is rounded at a 4dp grid before the fill (abs float noise
+    # ~1e-7 on ~1e5-scale values, far inside the grid) — unrounded it
+    # diverged from DuckDB the moment any customer actually needed the
+    # imputation (caught by the mutated-table fuzz harness, seed 3
+    # rate 8: heavy sampling creates order-less customers).
+    gmean = ostats.agg(F.round(F.avg("avg_order_value"), 4).alias("__gmean"))
 
     spine = (
         c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))

@@ -75,6 +75,11 @@ FUZZ_QUERIES = [
     # divide-by-zero on an empty doc; empty-blob first_byte semantics
     "doc_quality_by_lang",
     "multimodal_byte_stats",
+    # round-7 widening: the medallion composite and the re-thresholded
+    # TPC-H fixtures (both newly non-empty at small SF)
+    "feature_store_build",
+    "part_value_concentration",
+    "idle_customer_balance",
 ]
 
 EDGE_DOCS = [

@@ -492,3 +492,19 @@ def test_bigram_lm_single_tokenize_pass(spark):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert gens == 0, f"expected 0 Generate, found {gens}\n{plan}"
     assert n_scans == 0, f"expected 0 parquet scans, found {n_scans}"
+
+
+def test_feature_store_build_plan_shape(spark):
+    """The medallion composite must keep its scale contract: nation dim
+    and the 1-row global-mean frame broadcast (never SMJ'd against the
+    customer spine), partial aggregation precedes both silver roll-up
+    shuffles, and no cartesian product sneaks in via the scalar cross
+    join."""
+    plan = plan_of(spark, "feature_store_build")
+    assert "BroadcastHashJoin" in plan, f"dims not broadcast\n{plan}"
+    assert "CartesianProduct" not in plan, f"cartesian product\n{plan}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        f"1-row global mean not broadcast\n{plan}"
+    )
+    # both silver aggregates partial-aggregate before their shuffle
+    assert plan.count("HashAggregate") >= 4, f"missing partial aggs\n{plan}"
