@@ -184,3 +184,33 @@ def materialize(df: DataFrame, snapshot_root: str | None = None) -> DataFrame:
     from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
 
     return materialize_frame(df, snapshot_root)
+
+
+def valid_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+    require_nonzero: bool = True,
+) -> DataFrame:
+    """Declared dirty-input contract for embedding consumers (found by
+    the mutated-table fuzz harness, round 7): a 100 TB corpus WILL
+    carry NULL vectors (failed encoder calls), wrong-length vectors
+    (mixed model versions), and all-zero vectors (padding / dead docs).
+
+    - NULL / wrong-length rows are dropped for every consumer — they
+      have no coordinates in the declared space (under ANSI mode they
+      crash NumPy folds and silently skew JVM aggregates otherwise).
+    - ``require_nonzero=True`` (similarity/clustering family) also
+      drops all-zero vectors: a zero vector has no direction, so
+      cosine against it is a 0/0 — ANSI division error on the Spark
+      side, engine-dependent garbage elsewhere. Moment queries
+      (covariance, drift) keep zeros: they carry real mass.
+
+    Every SQL oracle mirrors this WHERE clause verbatim
+    (plans/llm_common.py: emb_valid_sql), so the contract is parity-
+    tested, not an implementation accident. Narrow map-side filter —
+    pushes to the scan, no shuffle."""
+    cond = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    if require_nonzero:
+        cond = cond & F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+    return df.filter(cond)

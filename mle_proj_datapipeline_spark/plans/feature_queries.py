@@ -154,14 +154,21 @@ def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_byte_stats",
     oracle="""
-    WITH b AS (
-        SELECT source,
-               octet_length(encode(text)) AS n_bytes,
-               CASE WHEN length(text) = 0 THEN NULL
-                    ELSE ascii(substr(text, 1, 1)) END AS first_byte,
-               coalesce(list_sum(list_transform(range(1, length(text) + 1),
-                        i -> ascii(substr(text, i, 1)))), 0) % 997 AS checksum_mod
-        FROM documents)
+    WITH raw AS (
+        SELECT source, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents),
+    b AS (
+        SELECT source, n_bytes,
+               CASE WHEN n_bytes = 0 THEN NULL
+                    ELSE 16 * (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
+                         + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
+               END AS first_byte,
+               coalesce(list_sum(list_transform(range(1, n_bytes + 1),
+                        i -> 16 * (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1)
+                             + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))), 0)
+                   % 997 AS checksum_mod
+        FROM raw)
     SELECT source, count(*) AS n_docs,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            CAST(min(first_byte) AS INT) AS min_first_byte,
@@ -172,8 +179,11 @@ def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach blob + metadata struct, extract
     features via Arrow-batched mapInPandas (the decode-shaped path),
-    aggregate JVM-side. Oracle reproduces the byte math in SQL (texts are
-    ASCII, so char codes == bytes)."""
+    aggregate JVM-side. The oracle reproduces the byte math EXACTLY for
+    any UTF-8 text by walking hex(encode(text)) two digits at a time —
+    the earlier per-character ascii() form silently assumed ASCII and
+    diverged on multi-byte codepoints (caught by the round-7 unicode
+    fuzz mutation)."""
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
     stats = byte_stats(docs)
     return stats.groupBy("source").agg(

@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from mle_proj_datapipeline_spark.plans.llm_common import _h31  # noqa: F401
+from mle_proj_datapipeline_spark.operators.veclib import valid_embeddings
 from mle_proj_datapipeline_spark.plans.registry import register
 from mle_proj_datapipeline_spark.sources.catalog import load_table
 
@@ -28,7 +29,7 @@ _POWER_ITERS = 8
 _COV_CTE = f"""
     x AS (
         SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
-        FROM embeddings),
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings),
     cells AS (
         SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
                avg(ed[i + 1] * ed[j + 1]) AS exy,
@@ -62,7 +63,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatch selects the Gramian above the threshold."""
     from mle_proj_datapipeline_spark.operators.linalg import covariance
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"), require_nonzero=False)
     cov = covariance(emb, "embedding", dim=_EMB_D, upper_only=True)
     return cov.select(
         "i", "j", (F.round(F.col("c"), 6) + F.lit(0.0)).alias("cov")
@@ -112,7 +113,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, unlike RNG-seeded solvers."""
     from mle_proj_datapipeline_spark.operators.linalg import covariance, top_eigvec
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"), require_nonzero=False)
     cov = covariance(emb, "embedding")
     return top_eigvec(cov, _EMB_D, iterations=_POWER_ITERS).select(
         F.col("j").alias("dim"),
@@ -128,7 +129,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT vec_id,
                list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ed
-        FROM embeddings),
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings),
     s AS (
         SELECT vec_id, ed,
                list_reduce(list_transform(ed, v -> abs(v)),
@@ -153,7 +154,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions over the array column — no explode, no shuffle at all
     (map-only); error folds run in array order so both engines sum
     identically (the customer_value_ewma determinism convention)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"), require_nonzero=False)
     ed = F.col("embedding").cast("array<double>")
     scale = (
         F.aggregate(
@@ -196,7 +197,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT label, CAST(i AS INTEGER) AS dim,
                CAST(embedding[i + 1] AS DOUBLE) AS v
-        FROM embeddings CROSS JOIN range(0, 64) t(i)),
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings CROSS JOIN range(0, 64) t(i)),
     g AS (
         SELECT label, dim, count(*) AS n,
                sum(v) / count(*) AS m,
@@ -225,7 +226,7 @@ def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global from the label-level moments via the law of total variance)
     rather than the engines' stddev kernels, so both sides compute the
     SAME arithmetic. One explode pass → (label×dim)-sized frames."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings"), require_nonzero=False)
     x = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
     )

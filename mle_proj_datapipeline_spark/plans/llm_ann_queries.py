@@ -23,10 +23,10 @@ from mle_proj_datapipeline_spark.sources.catalog import load_table
 @register(
     "ann_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    WITH q AS (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE vec_id < 50),
     scored AS (
         SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE.replace('a.embedding', 'q.embedding')} AS cosine
-        FROM q JOIN embeddings b ON q.vec_id != b.vec_id),
+        FROM q JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) b ON q.vec_id != b.vec_id),
     ranked AS (
         SELECT query_id, neighbor_id, cosine,
                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
@@ -37,7 +37,7 @@ from mle_proj_datapipeline_spark.sources.catalog import load_table
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbors for the first 50 vectors — the
     brute-force baseline (broadcast queries, no candidate shuffle)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     return _vl.brute_force_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
 
 
@@ -58,7 +58,7 @@ _LSH_TOP1_ORACLE = f"""
     WITH v AS (SELECT vec_id,
                       {_BAND_BUCKETS[0]} AS bk0,
                       {_BAND_BUCKETS[1]} AS bk1
-               FROM embeddings),
+               FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings),
     pairs AS (
         SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
         FROM v x JOIN v y
@@ -66,8 +66,8 @@ _LSH_TOP1_ORACLE = f"""
     scored AS (
         SELECT p.query_id, p.neighbor_id, {_COSINE} AS cosine
         FROM pairs p
-        JOIN embeddings a ON a.vec_id = p.query_id
-        JOIN embeddings b ON b.vec_id = p.neighbor_id),
+        JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) a ON a.vec_id = p.query_id
+        JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) b ON b.vec_id = p.neighbor_id),
     ranked AS (
         SELECT query_id, neighbor_id, cosine,
                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
@@ -85,7 +85,7 @@ def ann_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus via _vl.planes_per_band_for — expected bucket size
     stays constant at 100×, so the within-bucket join never goes
     quadratic (fix for the fixed-256-bucket round-1 geometry)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     return _lsh.lsh_top1(emb)
 
 
@@ -110,10 +110,10 @@ def _ivf_oracle() -> str:
         f"k -> {{'dist': ({d_arr})[k], 'idx': k}}))[1:{_vl.NUM_PROBES}], s -> s.idx)"
     )
     return f"""
-    WITH c AS (SELECT vec_id AS neighbor_id, embedding, {cell} AS cell FROM embeddings),
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding, {cell} AS cell FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings),
     q AS (
         SELECT vec_id AS query_id, embedding, unnest({probes}) AS cell
-        FROM embeddings WHERE vec_id < 50),
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE vec_id < 50),
     scored AS (
         SELECT q.query_id, c.neighbor_id,
                {_COSINE.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')} AS cosine
@@ -132,7 +132,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes its 2 nearest cells, exact cosine rerank within them — the
     second scale path (complements hyperplane LSH; per-query work is
     probed-cells-sized, shuffle key is the cell id)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     return _ivf.ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
 
 
@@ -144,7 +144,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
-        FROM embeddings, range(1, {_vl.EMB_DIM + 1}) t(i)),
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings, range(1, {_vl.EMB_DIM + 1}) t(i)),
     c AS (SELECT label, i, avg(v) AS m, count(*) AS n FROM e GROUP BY label, i),
     g AS (SELECT i, avg(v) AS gm FROM e GROUP BY i),
     dots AS (
@@ -170,7 +170,7 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering hazards and no wide rows through the shuffle; the final
     cosine folds over a (labels × 64)-row frame joined to a 64-row
     broadcast global centroid."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "label", F.posexplode("embedding").alias("i0", "v0")
     ).select("label", (F.col("i0") + 1).alias("i"), F.col("v0").cast("double").alias("v"))
@@ -213,7 +213,7 @@ def _kmeans_cte_prefix() -> str:
     return f"""c0(cell, i, m) AS (VALUES {vals}),
     v AS (
         SELECT vec_id AS vid, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
-        FROM embeddings, range(1, {_vl.EMB_DIM + 1}) t(i)),
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings, range(1, {_vl.EMB_DIM + 1}) t(i)),
     d1 AS (
         SELECT vid, cell, round(sum((v - m) * (v - m)), 6) AS dist_sq
         FROM v JOIN c0 USING (i) GROUP BY vid, cell),
@@ -255,7 +255,7 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression ceiling. The oracle unrolls both iterations as CTEs, so
     every mean and every argmin is hash-verified. Output: per-cell
     membership and inertia."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     assigned = _km.kmeans_iterate(emb, iterations=2)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -299,7 +299,7 @@ def semantic_dedup_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the kept-set is |cells| rows; the corpus itself shuffles only
     the (cell, dist) pairs. The oracle re-derives the full training run
     (shared CTE prefix), so the kept/dropped decision is hash-verified."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     assigned = _km.kmeans_iterate(emb, iterations=2)
     n = F.count(F.lit(1))
     return assigned.groupBy("cell").agg(
@@ -329,8 +329,8 @@ def _ivf_trained_oracle() -> str:
     scored AS (
         SELECT p.query_id, c.neighbor_id, {_COSINE} AS cosine
         FROM probes p JOIN cand c USING (cell)
-        JOIN embeddings a ON a.vec_id = p.query_id
-        JOIN embeddings b ON b.vec_id = c.neighbor_id
+        JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) a ON a.vec_id = p.query_id
+        JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) b ON b.vec_id = c.neighbor_id
         WHERE p.query_id != c.neighbor_id),
     ranked AS (
         SELECT query_id, neighbor_id, cosine,
@@ -351,7 +351,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells. The oracle re-derives the entire training run (shared
     CTE prefix with kmeans_embedding_cells) plus the probe/rerank, so
     codebook, assignment, probes, and ranking are all hash-verified."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     return _ivf.ivf_trained_topk(emb.filter(F.col("vec_id") < 50), emb, k=3)
 
 
@@ -370,7 +370,7 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mle_proj_datapipeline_spark.sources.metrics import warehouse_root
     from mle_proj_datapipeline_spark.sources.snapshots import expire
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     root = os.path.join(warehouse_root(), f"ivf_index_{tag}")
     _ivf.ivf_index_build(emb, root)
@@ -385,7 +385,7 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id,
                       {_BAND_BUCKETS[0]} AS bk0,
                       {_BAND_BUCKETS[1]} AS bk1
-               FROM embeddings),
+               FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings),
     pairs AS (
         SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
         FROM v x JOIN v y
@@ -393,8 +393,8 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lscored AS (
         SELECT p.query_id, p.neighbor_id, {_COSINE} AS cosine
         FROM pairs p
-        JOIN embeddings a ON a.vec_id = p.query_id
-        JOIN embeddings b ON b.vec_id = p.neighbor_id),
+        JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) a ON a.vec_id = p.query_id
+        JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) b ON b.vec_id = p.neighbor_id),
     lsh AS (
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
@@ -403,8 +403,8 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lscored) WHERE rk = 1 AND query_id < 50),
     bscored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE} AS cosine
-        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) a
-        JOIN embeddings b ON a.vec_id != b.vec_id),
+        FROM (SELECT vec_id, embedding FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE vec_id < 50) a
+        JOIN (SELECT * FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) b ON a.vec_id != b.vec_id),
     bf AS (
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
@@ -427,7 +427,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified. Scale: the expensive arm (exact top-k) runs only on
     the bounded evaluation slice — the standard sampled-recall
     methodology."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     lsh = (
         _lsh.lsh_top1(emb)
         .filter(F.col("query_id") < 50)
@@ -478,7 +478,7 @@ def ann_lsh_indexed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mle_proj_datapipeline_spark.sources.metrics import warehouse_root
     from mle_proj_datapipeline_spark.sources.snapshots import expire
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     root = os.path.join(warehouse_root(), f"lsh_index_{tag}")
     want = {

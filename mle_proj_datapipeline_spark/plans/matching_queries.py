@@ -27,7 +27,7 @@ from mle_proj_datapipeline_spark.plans.llm_common import _BUCKET, _COSINE, _h31
 @register(
     "embedding_cosine_neardups",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND list_bool_or([x <> 0 for x in embedding])) embeddings),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COSINE}, 4) AS cosine
         FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -39,7 +39,7 @@ def embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle, no cross join) + exact double-precision cosine filter.
     The 100 TB semantic-dedup path: candidates only within a bucket, so
     work is Σ bucket² not N²."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = sim.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         F.col("vec_id"),
         F.col("embedding"),

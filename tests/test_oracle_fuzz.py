@@ -93,7 +93,23 @@ EDGE_DOCS = [
     (9_000_005, "the exact duplicate body of text", "en", "fuzz", 32),
     (9_000_006, "the exact duplicate body of text", "en", "fuzz", 32),
     (9_000_007, "pipe | and || double pipes", "en", "fuzz", 26),
+    # round-7 additions: multi-byte UTF-8 (caught the ASCII-assuming
+    # multimodal_byte_stats oracle), a long doc, and whitespace shapes
+    (9_000_008, "héllo wörld naïve café 中文 текст emoji 🚀 done", "fr", "fuzz", 46),
+    (9_000_009, " ".join(f"tok{i % 7}" for i in range(2000)), "en", "fuzz", 13999),
+    (9_000_010, "tab\tseparated and  double  spaces trailing ", "en", "fuzz", 43),
 ]
+
+# Degenerate embedding rows (round 7): NULL vector, wrong-length vector,
+# all-zero vector — the declared dirty-input contract of
+# operators/veclib.valid_embeddings (these crashed every cosine query
+# under ANSI mode and skewed the moment queries before the contract).
+def _edge_embeddings(dim: int):
+    return [
+        (9_200_001, [0.0] * dim, 1),
+        (9_200_002, None, 2),
+        (9_200_003, [1.0, 2.0], 3),
+    ]
 
 
 def _mutate(seed: int, out_dir: str, rate: int = 60) -> None:
@@ -118,6 +134,17 @@ def _mutate(seed: int, out_dir: str, rate: int = 60) -> None:
                     "event_type": pa.array(["view", "click", "purchase"], pa.string()),
                     "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
                     "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}'], pa.string()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
+        if name == "embeddings":
+            dim = len(t.column("embedding")[0].as_py())
+            rows = _edge_embeddings(dim)
+            extra = pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                    "label": pa.array([r[2] for r in rows], pa.int32()),
                 }
             )
             t = pa.concat_tables([t.select(extra.column_names), extra])
