@@ -29,9 +29,10 @@ from mle_proj_datapipeline_spark.sources.catalog import load_table
     WITH d AS (
         SELECT o_orderpriority AS value,
                row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1 AS idx
-        FROM orders GROUP BY o_orderpriority)
-    SELECT o.o_orderpriority AS priority, d.idx AS priority_idx, count(*) AS n
-    FROM orders o JOIN d ON d.value = o.o_orderpriority
+        FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority AS priority,
+           coalesce(d.idx, -1) AS priority_idx, count(*) AS n
+    FROM orders o LEFT JOIN d ON d.value = o.o_orderpriority
     GROUP BY 1, 2
     """,
 )
@@ -99,7 +100,14 @@ def order_flag_recodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             parse_leading_int("o_orderpriority").alias("priority_rank"),
             binary_flag("o_orderstatus", "F").alias("is_finished"),
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("is_urgent"),
+            # CASE-semantics membership: NULL priority is NOT urgent
+            # (isin alone yields NULL for a NULL input, which would
+            # poison the whole column to float on the Arrow boundary —
+            # NULL-key fuzz find, round 7)
+            F.coalesce(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+                F.lit(0),
+            ).alias("is_urgent"),
             "o_totalprice",
         )
         .groupBy("priority_rank", "is_finished", "is_urgent")

@@ -34,8 +34,15 @@ _H31_SQL = "(('0x'||substr(md5(model || '|' || week),1,15))::BIGINT % {p})".form
 
 def weekly_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (model, week, metric) panel from orders: one row per
-    priority × week, metric = 0.86 + (H31(model|week) % 20) / 200."""
-    o = load_table(spark, sf_dir, "orders")
+    priority × week, metric = 0.86 + (H31(model|week) % 20) / 200.
+
+    A NULL priority is not a model: it would crash the stateful
+    retraining fold (None group key) and hash differently per engine
+    (concat_ws skips NULLs, SQL `||` propagates them) — excluded here
+    and in every lifecycle oracle (NULL-fuzz find, round 7)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
     wk = F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd")
     base = (
         o.select(F.col("o_orderpriority").alias("model"), wk.alias("week"))
@@ -59,7 +66,7 @@ def weekly_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT DISTINCT o_orderpriority AS model,
                    strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
-            FROM orders)
+            FROM orders WHERE o_orderpriority IS NOT NULL)
     ),
     rec AS (
         SELECT model, week, metric, idx, 'init' AS reason, CAST(week AS DATE) AS last_retrain
@@ -101,7 +108,7 @@ def retraining_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT DISTINCT o_orderpriority AS model,
                    strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
-            FROM orders)
+            FROM orders WHERE o_orderpriority IS NOT NULL)
     ),
     ranked AS (
         SELECT week, model, metric,
@@ -138,7 +145,7 @@ _H31_MODEL_SQL = "(('0x'||substr(md5(model),1,15))::BIGINT % {p})".format(p=P31)
         FROM (
             SELECT DISTINCT o_orderpriority AS model,
                    strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
-            FROM orders)
+            FROM orders WHERE o_orderpriority IS NOT NULL)
     ),
     ranked AS (
         SELECT week, model, metric,
@@ -208,7 +215,7 @@ _H31_GRADE_SQL = (
     WITH w AS (
         SELECT DISTINCT o_orderpriority AS model,
                strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
-        FROM orders),
+        FROM orders WHERE o_orderpriority IS NOT NULL),
     g AS (
         SELECT model, week, grade
         FROM w, UNNEST(['A','B','C','D','E','F','G']) AS t(grade)),
@@ -271,7 +278,7 @@ def grade_f1_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT DISTINCT o_orderpriority AS model,
                    strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week
-            FROM orders)),
+            FROM orders WHERE o_orderpriority IS NOT NULL)),
     cut AS (SELECT min(week) AS lo, max(week) AS hi FROM w)
     SELECT model, week, metric FROM w, cut WHERE week < hi
     """,

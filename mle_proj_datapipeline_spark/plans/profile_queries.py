@@ -160,7 +160,7 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT c_acctbal,
                ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
-        FROM customer)
+        FROM customer WHERE c_acctbal IS NOT NULL)
     SELECT decile, count(*) AS n,
            round(min(c_acctbal), 2) AS lo,
            round(max(c_acctbal), 2) AS hi
@@ -176,7 +176,10 @@ def acctbal_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort) — this exact form is the oracle-checkable twin."""
     from pyspark.sql import Window
 
-    c = load_table(spark, sf_dir, "customer")
+    # NULL balances have no decile — and the engines disagree on where
+    # NULL sorts (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so the
+    # filter is the contract, mirrored in the oracle (NULL-fuzz find).
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
     w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     return (
         c.withColumn("decile", F.ntile(10).over(w))

@@ -161,8 +161,8 @@ def table_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_ORACLE = """
     WITH r AS (
         SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
-               CASE WHEN lag(o_orderpriority) OVER w IS NULL
-                      OR lag(o_orderpriority) OVER w != o_orderpriority
+               CASE WHEN lag(o_orderpriority) OVER w
+                         IS DISTINCT FROM o_orderpriority
                     THEN 1 ELSE 0 END AS chg
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -205,9 +205,16 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     lagp = F.lag("o_orderpriority").over(w)
+    # Null-DISTINCT change detection (IS DISTINCT FROM): with a plain
+    # != a NULL attribute row merged into the previous run, and the
+    # run group-by then split it back out into a run_id TIE whose
+    # lead() order is engine-dependent (NULL-fuzz find). Null-safe
+    # equality makes NULL its own dimension state — the first row
+    # still opens a run (lag NULL is distinct from any value), and a
+    # run of NULLs stays one run.
     runs = o.withColumn(
         "chg",
-        F.when(lagp.isNull() | (lagp != F.col("o_orderpriority")), 1).otherwise(0),
+        F.when(~lagp.eqNullSafe(F.col("o_orderpriority")), 1).otherwise(0),
     ).withColumn(
         "run_id",
         F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -276,7 +283,8 @@ _KS_ORACLE = """
         SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bin,
                CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END AS a,
                CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END AS b
-        FROM orders WHERE year(o_orderdate) IN (1997, 1998)),
+        FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+          AND o_totalprice IS NOT NULL),
     c AS (SELECT bin, sum(a) AS na, sum(b) AS nb FROM t GROUP BY bin),
     cum AS (SELECT bin,
                    sum(na) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
@@ -303,7 +311,12 @@ def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over the BOUNDED bin spine (~hundreds of rows), never a
     data-sized global sort. One groupBy shuffle on bin; totals ride a
     broadcast scalar cross-join."""
-    o = load_table(spark, sf_dir, "orders")
+    # A NULL price has no bin — and the engines disagree on where a
+    # NULL bin sorts in the cumulative window (NULL-fuzz find), so the
+    # filter is the declared contract, mirrored in the oracle.
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     yr = F.year("o_orderdate")
     t = o.filter(yr.isin(1997, 1998)).select(
         F.floor(F.col("o_totalprice") / 1000).alias("bin"),

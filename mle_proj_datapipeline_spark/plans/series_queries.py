@@ -324,7 +324,7 @@ EWMA_ALPHA = 0.2
                                               k := o_orderkey,
                                               v := o_totalprice))),
                    x -> x.v) AS vs
-        FROM orders GROUP BY o_custkey)
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey)
     SELECT o_custkey, n_orders,
            round(list_reduce(vs, (acc, v) -> {1 - EWMA_ALPHA} * acc
                                              + {EWMA_ALPHA} * v), 4) AS ewma_value
@@ -344,7 +344,14 @@ def customer_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle (the groupBy); per-group arrays are bounded by
     orders-per-customer, not data volume; the fold is JVM codegen, no
     UDF, no recursion, no iteration."""
-    o = load_table(spark, sf_dir, "orders")
+    # NULL order values are measurement gaps, not zeros: inside the
+    # fold a NULL would reset (Spark's reseed coalesce) or poison
+    # (DuckDB) the accumulator — divergent AND wrong. The series is
+    # the non-null values; n_orders is the series length (NULL-fuzz
+    # find, mirrored in the oracle).
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     g = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.transform(

@@ -144,7 +144,7 @@ _TE_PRIOR_M = 20  # smoothing pseudo-count
     WITH o AS (
         SELECT o_orderkey, o_orderpriority,
                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        FROM orders),
+        FROM orders WHERE o_orderpriority IS NOT NULL),
     g AS (
         SELECT o_orderkey, o_orderpriority, y,
                sum(y) OVER (PARTITION BY o_orderpriority) AS s,
@@ -152,7 +152,8 @@ _TE_PRIOR_M = 20  # smoothing pseudo-count
                sum(y) OVER () AS gs, count(*) OVER () AS gn
         FROM o)
     SELECT o_orderkey,
-           round(CAST(s - y AS DOUBLE) / (n - 1), 6) AS loo_te,
+           CASE WHEN n > 1
+                THEN round(CAST(s - y AS DOUBLE) / (n - 1), 6) END AS loo_te,
            round((CAST(s - y AS DOUBLE) + {_TE_PRIOR_M} * (CAST(gs AS DOUBLE) / gn))
                  / ((n - 1) + {_TE_PRIOR_M}), 6) AS loo_te_smooth
     FROM g
@@ -174,10 +175,20 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     no row shuffle at all). Two pruned scans of orders beat one
     single-partition sort at any scale. Exact-integer sums → the
     division is the same two doubles in both engines."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    # NULL categories cannot be target-encoded (and a plain equi-join
+    # would silently drop them while the oracle's window kept them —
+    # NULL-fuzz find); they are excluded by contract, mirrored in the
+    # oracle. Singleton categories have no leave-one-out mean (0/0 —
+    # an ANSI crash): loo_te is NULL there, the smoothed form still
+    # shrinks to the prior.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
     )
     g = o.groupBy("o_orderpriority").agg(
         F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
@@ -185,7 +196,10 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     pri = g.agg(
         (F.sum("s").cast("double") / F.sum("n")).alias("prior")
     )
-    loo = (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1)
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1),
+    )
     smooth = (
         (F.col("s") - F.col("y")).cast("double") + _TE_PRIOR_M * F.col("prior")
     ) / ((F.col("n") - 1) + _TE_PRIOR_M)

@@ -80,6 +80,9 @@ FUZZ_QUERIES = [
     "feature_store_build",
     "part_value_concentration",
     "idle_customer_balance",
+    # NULL-semantics contract class (round 7 NULL-fuzz finds)
+    "acctbal_decile_stats",
+    "retraining_trigger",
 ]
 
 EDGE_DOCS = [
@@ -121,6 +124,39 @@ def _mutate(seed: int, out_dir: str, rate: int = 60) -> None:
             # deterministic sample keyed on a hash of the row index
             keep = [(i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)]
             t = t.filter(pa.array(keep))
+        if name == "orders":
+            # NULL join key, NULL measure, NULL category (round 7):
+            # orphan order, priceless order, unprioritized order — the
+            # NULL-semantics contract class (anti-join vs NOT EXISTS,
+            # NULL ordering in windows, null-distinct change detection,
+            # dictionary/-1 encoding, NULL-model panels)
+            import datetime as _dt
+
+            extra = pa.table(
+                {
+                    "o_orderkey": pa.array([9_300_001, 9_300_002], pa.int64()),
+                    "o_custkey": pa.array([None, 1], pa.int64()),
+                    "o_orderstatus": pa.array(["O", "F"], pa.string()),
+                    "o_totalprice": pa.array([100.5, None], pa.float64()),
+                    "o_orderdate": pa.array(
+                        [_dt.datetime(1997, 1, 1), _dt.datetime(1997, 1, 2)],
+                        t.schema.field("o_orderdate").type,
+                    ),
+                    "o_orderpriority": pa.array(["1-URGENT", None], pa.string()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
+        if name == "customer":
+            extra = pa.table(
+                {
+                    "c_custkey": pa.array([9_400_001], pa.int64()),
+                    "c_name": pa.array([None], pa.string()),
+                    "c_nationkey": pa.array([0], pa.int32()),
+                    "c_acctbal": pa.array([None], pa.float64()),
+                    "c_mktsegment": pa.array([None], pa.string()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
         if name == "events":
             # tied timestamps: same user, same microsecond, different
             # events — stresses the total-order tie-break convention in
