@@ -166,6 +166,11 @@ def pagerank(
     )
     nodes = cut(e.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
+    if n == 0:
+        # Empty graph: no sources → no rank rows, same relation the
+        # unrolled-CTE oracles produce on empty input (empty-table
+        # fuzz find, round 7 — 1/n teleport of an empty vertex set).
+        return nodes.withColumn("r", F.lit(0.0))
     small = n <= broadcast_nodes_max
 
     def hint(df: DataFrame) -> DataFrame:

@@ -76,6 +76,13 @@ def kmeans_fit(
                 .agg(F.round(F.avg("v"), round_to).alias("m"))
                 .collect()
             )
+            if not upd:
+                # Zero vectors reached the update (empty input after the
+                # dirty-vector filter): every cell "lost its vectors" at
+                # once — keep the current codebook instead of compiling
+                # an empty one, and the assignment below is simply empty
+                # (empty-table fuzz find, round 7).
+                break
             cells = sorted({r["cell"] for r in upd})
             pos = {c: p for p, c in enumerate(cells)}
             dim = max(r["i"] for r in upd)

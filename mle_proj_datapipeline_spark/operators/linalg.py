@@ -194,8 +194,18 @@ def top_eigvec(
     if driver_max_dim and dim <= driver_max_dim:
         import numpy as np
 
+        rows = cov.collect()  # d²-bounded model artifact (see doc)
+        if not rows:
+            # Empty covariance (no valid vectors): no principal
+            # direction exists — the distributed arm and the unrolled
+            # CTE oracle both produce the empty relation; the zero
+            # matrix here would instead power-iterate to a d-row NaN
+            # vector (empty-table fuzz find, round 7).
+            return cov.sparkSession.createDataFrame(
+                [], "j INT, v DOUBLE, eigval DOUBLE"
+            )
         c = np.zeros((dim, dim))
-        for r in cov.collect():  # d²-bounded model artifact (see doc)
+        for r in rows:
             c[r["i"], r["j"]] = r["c"]
         v = np.full(dim, 1.0 / dim ** 0.5)
         u = None

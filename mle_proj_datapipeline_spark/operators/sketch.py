@@ -42,10 +42,16 @@ def cm_cells_from_counts(
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
 ) -> DataFrame:
-    """(j, bucket, cell_n) cells from a per-key count frame."""
+    """(j, bucket, cell_n) cells from a per-key count frame.
+
+    NULL is not a key: it would hash to a NULL bucket — a cell no
+    point query can ever join back to, silently swallowing its counts
+    (NULL-key fuzz find, round 7) — so NULL keys are excluded by
+    contract here and in every sketch oracle."""
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
     return (
-        counts.select(F.col(key_col).alias("key"), F.col(n_col).alias("n"), j)
+        counts.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.col(n_col).alias("n"), j)
         .select("j", cm_bucket(F.col("j"), F.col("key"), width).alias("bucket"), "n")
         .groupBy("j", "bucket")
         .agg(F.sum("n").alias("cell_n"))

@@ -438,13 +438,18 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
     j = lsh.join(bf, ["query_id", "neighbor_id"], "left")
+    # Empty eval slice (empty-table fuzz find, round 7): SUM over zero
+    # rows is NULL where the oracle's count(col) is 0 — coalesce the
+    # aggregate itself; recall over zero queries is undefined → NULL
+    # via try_divide (DuckDB's 0/0), not an ANSI crash.
+    hits = F.coalesce(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0).cast("bigint")
+    )
     return j.agg(
         F.count(F.lit(1)).alias("n_lsh_queries"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        hits.alias("n_hits"),
         F.round(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-            / F.count(F.lit(1)),
-            4,
+            F.try_divide(hits.cast("double"), F.count(F.lit(1))), 4
         ).alias("recall_at_3"),
     )
 

@@ -124,7 +124,12 @@ def table_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(column).alias("column_name"),
             F.col("n").alias("n_rows"),
             viol.cast("long").alias("n_violations"),
-            F.round(viol.cast("double") / F.col("n"), 4).alias("violation_ratio"),
+            # try_divide: an EMPTY table still gets its report rows
+            # (n_rows=0, ratio NULL) — DuckDB's x/0 is NULL, ANSI
+            # Spark's crashes (empty-table fuzz find, round 7)
+            F.round(F.try_divide(viol.cast("double"), F.col("n")), 4).alias(
+                "violation_ratio"
+            ),
         )
 
     checks = [
@@ -146,7 +151,7 @@ def table_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("lineitem.l_orderkey").alias("column_name"),
             F.col("ln").alias("n_rows"),
             F.col("orph").cast("long").alias("n_violations"),
-            F.round(F.col("orph").cast("double") / F.col("ln"), 4).alias(
+            F.round(F.try_divide(F.col("orph").cast("double"), F.col("ln")), 4).alias(
                 "violation_ratio"
             ),
         )

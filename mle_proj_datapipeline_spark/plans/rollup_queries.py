@@ -30,11 +30,19 @@ from mle_proj_datapipeline_spark.plans.llm_common import _h31
            count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    HAVING count(*) > 0
     """,
 )
 def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (priority, status): all 4 grouping sets in one Expand +
-    one shuffle — no self-union of separate aggregations."""
+    one shuffle — no self-union of separate aggregations.
+
+    Declared contract (empty-table fuzz find, round 7): grouping sets
+    describe OBSERVED rows — an empty relation cubes to the empty
+    relation. Spark's Expand-based cube natively does this; ANSI (and
+    DuckDB) emit a count-0 grand-total row for the () set, so the
+    oracle pins the contract with ``HAVING count(*) > 0`` (a no-op on
+    any non-empty input, where every grouping-set row covers ≥1 row)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select(
@@ -61,13 +69,16 @@ def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    HAVING count(*) > 0
     """,
 )
 def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (detail, per-priority subtotal, grand
     total) in one Expand + one shuffle, with ``grouping_id()`` as the
     explicit set marker so subtotal NULLs are distinguishable from data
-    NULLs. Completes the rollup/cube/grouping-sets family."""
+    NULLs. Completes the rollup/cube/grouping-sets family. Same
+    observed-rows empty contract as ``order_priority_cube`` (the
+    HAVING in the oracle pins it; no-op on non-empty input)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select(
@@ -216,7 +227,10 @@ def approx_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def within(est: str, exact: str) -> F.Column:
-        return (
+        # exact=0 (empty table) has no relative error: within-bounds
+        # means the sketch also says 0 (empty-table fuzz find, round 7
+        # — the bare division is an ANSI 0/0 crash there)
+        return F.when(F.col(exact) == 0, F.col(est) == 0).otherwise(
             F.abs(F.col(est) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
         )
 
@@ -287,7 +301,8 @@ def _cm_bucket_sql(j: str, key: str) -> str:
     "cm_sketch_heavy_hitters",
     oracle=f"""
     WITH counts AS (
-        SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey),
+        SELECT o_custkey AS key, count(*) AS n FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
     cells AS (
         SELECT t.j AS j, {_cm_bucket_sql('t.j', 'counts.key')} AS bucket,
                CAST(sum(n) AS BIGINT) AS cell_n
@@ -320,8 +335,13 @@ def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
 
     o = load_table(spark, sf_dir, "orders")
+    # NULL is not a key (see operators/sketch.cm_cells_from_counts):
+    # filtered before the materialize so sketch, top-k, and estimation
+    # all see the same keyed relation — mirrored in the oracle.
     counts = materialize_frame(
-        o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     cells = sketch.cm_cells_from_counts(counts)
     top10 = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(10)

@@ -131,8 +131,12 @@ def cm_heavy_hitters_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = stream_sketch.served_cells(spark, state)
     o = load_table(spark, sf_dir, "orders")
-    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("n")
+    # NULL is not a key — same contract as the batch twin and the
+    # sketch operator itself (operators/sketch.cm_cells_from_counts).
+    counts = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     top10 = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(10)
     return (

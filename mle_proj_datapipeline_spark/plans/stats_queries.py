@@ -562,9 +562,15 @@ def holt_weekly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(wk.alias("wk"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
     )
+    # The global agg emits its one row even over EMPTY orders (s=[]),
+    # and Holt needs two points for the (l₁, b₁) init — shorter series
+    # have no fitted values, exactly the rows the oracle's
+    # `fitted IS NOT NULL` drops (empty-table fuzz find, round 7: the
+    # unguarded slice(s, 2, size-1) is a length<0 ANSI crash at size 0
+    # and an out-of-bounds s[1] at size 1).
     series = wkly.agg(
         F.sort_array(F.collect_list(F.struct("wk", "y"))).alias("s")
-    )
+    ).filter(F.size("s") >= 2)
     a, b = _HOLT_ALPHA, _HOLT_BETA
     new_l = f"{a}D * x.y + {1 - a}D * (acc.l + acc.b)"
     init = (

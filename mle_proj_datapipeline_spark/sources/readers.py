@@ -124,7 +124,20 @@ def footer_stats(
                     f"footer for {path} (unsupported column type or source); "
                     f"use a plain agg instead of silently full-scanning"
                 )
-        return materialize_frame(out)
+        try:
+            return materialize_frame(out)
+        except Exception as exc:  # zero-row-group file: no footer stats
+            # Spark's pushdown reader throws AT EXECUTION on a parquet
+            # file with no row groups ("No min/max found") — an empty
+            # table genuinely has no footer statistics to serve
+            # (empty-table fuzz find, round 7). Fall back to the plain
+            # aggregate for THIS declared case only (count 0, NULL
+            # min/max — the relation the SQL oracle produces); every
+            # other failure keeps the loud contract above.
+            if "No min/max found" not in str(exc):
+                raise
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+            return materialize_frame(spark.read.parquet(path).agg(*aggs))
     finally:
         for k, v in saved.items():
             if v is None:

@@ -83,10 +83,18 @@ def served_state(
     partials_dir: str,
     key_cols: list[str],
     val_col: str,
+    empty_schema: str | None = None,
 ) -> DataFrame:
     """The maintained state: compact base (if committed) + partials
     above its watermark, merged by one groupBy-SUM — |keys| rows out
-    regardless of batch count or compaction schedule."""
+    regardless of batch count or compaction schedule.
+
+    ``empty_schema`` (a DDL string) declares that NO committed state is
+    a legitimate answer — a maintenance pass over an empty/fully-filtered
+    corpus commits zero batch partials, and the served model is then the
+    empty relation with that schema (empty-table fuzz find, round 7).
+    Without it, missing state stays a hard error, because for a direct
+    caller it usually means the maintenance pass never ran."""
     wm, base = _watermark_and_base(spark, partials_dir)
     cols = [*key_cols, val_col]
     frames = []
@@ -99,6 +107,8 @@ def served_state(
     if base is not None:
         frames.append(base.select(*cols))
     if not frames:
+        if empty_schema is not None:
+            return spark.createDataFrame([], empty_schema)
         raise FileNotFoundError(
             f"no streaming state under {partials_dir} (no partials, no "
             "compact snapshot) — run the maintenance pass first"

@@ -88,8 +88,17 @@ def served_counts(spark: SparkSession, state_root: str) -> tuple[DataFrame, Data
     compact base (if any) plus the partials above its watermark."""
     from mle_proj_datapipeline_spark.streaming.compaction import served_state
 
-    uni = served_state(spark, f"{state_root}/uni", ["term"], "c1")
-    big = served_state(spark, f"{state_root}/big", ["w1", "w2"], "c2")
+    # empty_schema: a maintenance pass over an empty corpus commits no
+    # partials — the served model is then the empty vocabulary, and
+    # scoring any docs against it degrades per the smoothing contract.
+    uni = served_state(
+        spark, f"{state_root}/uni", ["term"], "c1",
+        empty_schema="term string, c1 bigint",
+    )
+    big = served_state(
+        spark, f"{state_root}/big", ["w1", "w2"], "c2",
+        empty_schema="w1 string, w2 string, c2 bigint",
+    )
     return uni, big
 
 

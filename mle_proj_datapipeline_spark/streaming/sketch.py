@@ -79,7 +79,13 @@ def served_cells(spark: SparkSession, cells_dir: str) -> DataFrame:
     many batches have landed or how recently compaction ran."""
     from mle_proj_datapipeline_spark.streaming.compaction import served_state
 
-    return served_state(spark, cells_dir, ["j", "bucket"], "cell_n")
+    # empty_schema: zero maintained batches (empty source) serve the
+    # empty sketch — every point estimate over it is then absent, the
+    # same answer the batch twin gives on the empty table.
+    return served_state(
+        spark, cells_dir, ["j", "bucket"], "cell_n",
+        empty_schema="j int, bucket bigint, cell_n bigint",
+    )
 
 
 def compact_cells(spark: SparkSession, cells_dir: str) -> int:

@@ -83,6 +83,19 @@ FUZZ_QUERIES = [
     # NULL-semantics contract class (round 7 NULL-fuzz finds)
     "acctbal_decile_stats",
     "retraining_trigger",
+    # empty-input contract class (round 7 empty-fact-table fuzz finds:
+    # n=0 teleport, 0/0 ratios, zero-vector codebooks, no-footer-stats
+    # files, sub-minimum series, NaN eigvectors, NULL-vs-0 empty SUM,
+    # observed-rows grouping sets)
+    "supplier_pagerank",
+    "table_quality_report",
+    "approx_order_cardinalities",
+    "orders_footer_stats",
+    "holt_weekly_forecast",
+    "embedding_pca_power",
+    "ann_recall_eval",
+    "order_priority_cube",
+    "kmeans_embedding_cells",
 ]
 
 EDGE_DOCS = [
@@ -115,15 +128,21 @@ def _edge_embeddings(dim: int):
     ]
 
 
-def _mutate(seed: int, out_dir: str, rate: int = 60) -> None:
+FACT_TABLES = ("documents", "orders", "lineitem", "events", "embeddings")
+
+
+def _mutate(seed: int, out_dir: str, rate: int = 60, inject: bool = True) -> None:
     import datetime as dt
 
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        if name in ("documents", "orders", "lineitem", "events", "embeddings"):
+        if name in FACT_TABLES:
             # deterministic sample keyed on a hash of the row index
             keep = [(i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)]
             t = t.filter(pa.array(keep))
+        if not inject:
+            pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+            continue
         if name == "orders":
             # NULL join key, NULL measure, NULL category (round 7):
             # orphan order, priceless order, unprioritized order — the
@@ -226,6 +245,42 @@ def test_queries_match_oracles_on_mutated_tables(spark, tmp_path_factory, seed, 
     assert not bad, f"spark/oracle divergence on mutated data: {bad}"
 
 
+def test_queries_match_oracles_on_empty_fact_tables(spark, tmp_path_factory):
+    """Zero-row fact tables (dimensions keep their rows): every fact scan
+    returns an empty relation WITH schema, so this stresses the empty
+    end of every family at once — global aggregates over no rows
+    (count()=0 vs sum()=NULL), empty window spines, empty driver-held
+    codebook/dictionary/merge-rule collects (dict encode, k-means, BPE,
+    pagerank), and ANSI division with zero denominators. The engine's
+    contract is the oracle's answer on the same empty parquet — often 0
+    rows, sometimes one all-NULL aggregate row — never a crash."""
+    import __spark_entry__ as entrymod
+
+    out_dir = str(tmp_path_factory.mktemp("fuzz_empty_sf"))
+    _mutate(0, out_dir, rate=0, inject=False)
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in FUZZ_QUERIES:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:  # crash-on-empty IS the divergence
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"spark/oracle divergence on empty fact tables: {bad}"
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
     reason="full-registry sweep (~3 min): set SPARK_GRAFT_FUZZ_ALL=1",
@@ -260,3 +315,47 @@ def test_every_registered_query_matches_oracle_on_mutated_tables(
         if g != w:
             bad.append(name)
     assert not bad, f"divergence on mutated data: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry empty sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_survives_empty_fact_tables(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the empty-fact-tables battery: EVERY registered
+    query on zero-row fact tables must match its oracle (or, for the
+    no-oracle streaming/serve rows, at least execute to a DataFrame) —
+    the tail of the registry is where empty-input crashes hide: empty
+    k-means cells, empty pagerank edge lists, empty persisted-index
+    builds, empty BPE corpora."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_empty_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_empty_all_sf"))
+    _mutate(0, out_dir, rate=0, inject=False)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on empty fact tables: {bad}"
