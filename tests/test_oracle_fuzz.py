@@ -131,7 +131,144 @@ def _edge_embeddings(dim: int):
 FACT_TABLES = ("documents", "orders", "lineitem", "events", "embeddings")
 
 
-def _mutate(seed: int, out_dir: str, rate: int = 60, inject: bool = True) -> None:
+# Hot-key skew contract class (round 7): key-unique-preserving
+# injections that concentrate mass on single keys — the shapes that
+# break silently-truncating or uniqueness-assuming plans while staying
+# a FAIR differential comparison (both engines read the same parquet).
+#   - one order with 120 distinct suppliers/parts (crosses the declared
+#     MAX_COOCCUR_SET=64 cap) plus orders with exactly 64 and 65
+#     members (the cap boundary), overlapping so pair supports reach
+#     the min-support threshold of the association-rule family;
+#   - one customer holding 240 orders across ~5 years (hot groupBy /
+#     window / survival / retention key);
+#   - one user with a 600-event stream plus a 20-event same-microsecond
+#     burst (monster session, tie-break stress);
+#   - 15 documents sharing one hot 11-token shingle run with unique
+#     tails (hot LSH band bucket / decontamination posting list).
+_HOT_SENT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _inject_skew(name: str, t: pa.Table) -> pa.Table:
+    import datetime as dt
+
+    if name == "orders":
+        okeys, ckeys, stats, prices, dates, prios = [], [], [], [], [], []
+        for i in range(240):
+            okeys.append(9_601_001 + i)
+            ckeys.append(2)
+            stats.append(["O", "F", "P"][i % 3])
+            prices.append(500.5 + i)
+            dates.append(dt.datetime(1995, 1, 6) + dt.timedelta(days=7 * i))
+            prios.append(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"][i % 5]
+            )
+        for j, okey in enumerate((9_600_001, 9_600_002, 9_600_003)):
+            okeys.append(okey)
+            ckeys.append(2)
+            stats.append("F")
+            prices.append(9000.25 + j)
+            dates.append(dt.datetime(1996, 6, 1 + j))
+            prios.append("2-HIGH")
+        extra = pa.table(
+            {
+                "o_orderkey": pa.array(okeys, pa.int64()),
+                "o_custkey": pa.array(ckeys, pa.int64()),
+                "o_orderstatus": pa.array(stats, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(dates, t.schema.field("o_orderdate").type),
+                "o_orderpriority": pa.array(prios, pa.string()),
+            }
+        )
+        return pa.concat_tables([t.select(extra.column_names), extra])
+    if name == "lineitem":
+        rows = []
+        hot = [
+            (9_600_001, list(range(1, 121))),  # 120 members: over the cap
+            (9_600_002, list(range(33, 97))),  # exactly 64: at the cap
+            (9_600_003, list(range(61, 126))),  # 65: one over the boundary
+        ]
+        for okey, keys in hot:
+            for ln, k in enumerate(keys, start=1):
+                rows.append(
+                    (
+                        okey, k, k, ln,
+                        float(k % 50 + 1),
+                        1000.25 + k,
+                        (k % 11) / 100.0,
+                        (k % 9) / 100.0,
+                        ["A", "N", "R"][k % 3],
+                        ["O", "F"][k % 2],
+                        dt.datetime(1996, 1, 1) + dt.timedelta(days=k),
+                    )
+                )
+        extra = pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+                "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+                "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+                "l_shipdate": pa.array(
+                    [r[10] for r in rows], t.schema.field("l_shipdate").type
+                ),
+            }
+        )
+        return pa.concat_tables([t.select(extra.column_names), extra])
+    if name == "events":
+        ids, tss, users, types, vals, props = [], [], [], [], [], []
+        base = dt.datetime(2024, 3, 1)
+        for i in range(600):
+            ids.append(8_100_001 + i)
+            tss.append(base + dt.timedelta(seconds=30 * i))
+            users.append(5)
+            types.append(["view", "view", "click", "purchase"][i % 4])
+            vals.append((i % 10) + 0.25)
+            props.append('{"k": %d}' % (i % 5))
+        burst = dt.datetime(2024, 3, 2, 12, 0, 0, 250000)
+        for i in range(20):
+            ids.append(8_200_001 + i)
+            tss.append(burst)
+            users.append(5)
+            types.append(["view", "click"][i % 2])
+            vals.append(7.5)
+            props.append('{"k": 9}')
+        extra = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, t.schema.field("ts").type),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        )
+        return pa.concat_tables([t.select(extra.column_names), extra])
+    if name == "documents":
+        rows = []
+        for i in range(15):
+            text = f"{_HOT_SENT} unique tail number {i} marker{i}"
+            rows.append((9_100_001 + i, text, "en", "fuzz-hot", len(text)))
+        extra = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+        return pa.concat_tables([t.select(extra.column_names), extra])
+    return t
+
+
+def _mutate(
+    seed: int, out_dir: str, rate: int = 60, inject: bool = True, skew: bool = False
+) -> None:
     import datetime as dt
 
     for name in TABLES:
@@ -140,6 +277,8 @@ def _mutate(seed: int, out_dir: str, rate: int = 60, inject: bool = True) -> Non
             # deterministic sample keyed on a hash of the row index
             keep = [(i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)]
             t = t.filter(pa.array(keep))
+        if skew:
+            t = _inject_skew(name, t)
         if not inject:
             pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
             continue
@@ -279,6 +418,77 @@ def test_queries_match_oracles_on_empty_fact_tables(spark, tmp_path_factory):
         if g != w:
             bad.append((name, len(g), len(w)))
     assert not bad, f"spark/oracle divergence on empty fact tables: {bad}"
+
+
+# Queries whose plans carry per-key state that a hot key concentrates:
+# the capped graph fan-out (cap boundary 64/65/120), per-key collected
+# sets and windows, sessionization, survival/retention spines, sampling
+# weights, and the hot-shingle posting lists of the dedup family.
+SKEW_QUERIES = [
+    "supplier_pagerank",
+    "supplier_triangles",
+    "part_association_rules",
+    "session_window_stats",
+    "user_sessions",
+    "top_revenue_orders",
+    "top_supplier_per_nation_week",
+    "pps_orders_sample",
+    "uniform_k_sample",
+    "event_transition_matrix",
+    "customer_value_ewma",
+    "km_reorder_survival",
+    "cohort_retention",
+    "segment_order_stats",
+    "pricing_summary",
+    "nation_revenue",
+    "asof_purchase_click",
+    "asof_nearest_click",
+    "minhash_lsh_neardups",
+    "benchmark_decontamination",
+    "tfidf_top_terms",
+    "holt_weekly_forecast",
+    "key_skew_profile",
+    "stratified_group_sample",
+    "scd2_priority_history",
+    "cuped_adjusted_metrics",
+]
+
+
+def test_queries_match_oracles_on_hot_keys(spark, tmp_path_factory, monkeypatch):
+    """Hot-key skew contract: inject key-unique-preserving mass
+    concentrations (one order with 120 suppliers — past the declared
+    MAX_COOCCUR_SET=64 cap, plus orders at exactly 64 and 65; one
+    customer with 240 orders; one user with a 600-event stream and a
+    same-microsecond burst; 15 docs sharing a hot shingle) and require
+    every skew-sensitive query to still match its own oracle. This is
+    what makes the cap a DECLARED semantic rather than a silent
+    truncation: the fixed tables never reach the cap (≤7 suppliers per
+    order at every SF), so without this class the capped branch of the
+    fan-out had no differential evidence."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_skew_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_skew_sf"))
+    _mutate(5, out_dir, rate=60, skew=True)
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in SKEW_QUERIES:
+        got = qs[name](spark, out_dir).toPandas()
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"spark/oracle divergence on hot-key data: {bad}"
 
 
 @pytest.mark.skipif(
