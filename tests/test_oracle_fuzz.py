@@ -529,6 +529,49 @@ def test_every_registered_query_matches_oracle_on_mutated_tables(
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry hot-key sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_hot_keys(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the hot-key battery: EVERY registered query
+    on the skew-injected tables must match its oracle (no-oracle rows
+    must at least execute) — the tail is where per-key collected state
+    (collect_list buffers, band buckets, per-group pandas folds) meets
+    a hot key without differential evidence otherwise."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_skew_all_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_skew_all_sf"))
+    _mutate(5, out_dir, rate=60, skew=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on hot-key data: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
     reason="full-registry empty sweep: set SPARK_GRAFT_FUZZ_ALL=1",
 )
 def test_every_registered_query_survives_empty_fact_tables(
