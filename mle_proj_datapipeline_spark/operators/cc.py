@@ -54,7 +54,15 @@ def connected_components(
     # Small-graph arm: below the gate, per-round shuffle/checkpoint
     # overhead dwarfs the work — one driver union-find replaces the
     # whole iteration (operators/cc_local.py; same canonical labels).
-    if driver_max_edges and edges.count() <= driver_max_edges:
+    # The gate counts UNDIRECTED pairs (a <= b over the symmetrized
+    # dedup'd frame: one row per unique pair incl. self-loops), so
+    # ``driver_max_edges`` means what the parameter name says — input
+    # pairs, not 2x directed rows (ADVICE r7: the symmetrized count
+    # silently halved the effective cap).
+    if (
+        driver_max_edges
+        and edges.filter(F.col("a") <= F.col("b")).count() <= driver_max_edges
+    ):
         from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
 
         return union_find_labels(edges, "a", "b")
@@ -163,8 +171,12 @@ def connected_components_star(
     # convergence probe; below the gate, one driver union-find replaces
     # the whole round loop (operators/cc_local.py — same canonical
     # labels, microseconds at this size). Self-loop-only nodes still
-    # come back as singletons through the final nodes join.
-    if driver_max_edges and edge_count <= driver_max_edges:
+    # come back as singletons through the final nodes join. ``sym``
+    # drops self-loops and keeps both orientations, so edge_count is
+    # exactly 2x the unique input pairs — gate on pairs, not directed
+    # rows, so ``driver_max_edges`` means what the name says (ADVICE
+    # r7: the symmetrized count silently halved the effective cap).
+    if driver_max_edges and edge_count // 2 <= driver_max_edges:
         from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
 
         if stats is not None:

@@ -173,7 +173,13 @@ def minhash_lsh_pairs_delta(
     Scale: per-batch cost is O(|batch| signatures + band-join fanout of
     the batch) — history is touched only through the band equi-join,
     never re-shingled, never re-paired. Invariant (tested):
-    full-corpus pairs == old-corpus pairs ∪ delta pairs."""
+    full-corpus pairs == old-corpus pairs ∪ delta pairs — including
+    under at-least-once delivery: a batch whose doc ids are ALREADY in
+    the snapshot (crash between the append commit and the caller
+    durably consuming the returned pairs, or an at-least-once upstream
+    re-delivery) re-derives its pairs from the snapshot instead of
+    returning empty (ADVICE r7: the append must not orphan the batch's
+    pairs)."""
     from mle_proj_datapipeline_spark.sources.snapshots import (
         materialize_frame,
         read_snapshot,
@@ -187,11 +193,26 @@ def minhash_lsh_pairs_delta(
     # upstream) must not duplicate signature rows, which would multiply
     # every later batch's verify joins. Mirrors streaming/corpus's
     # content-hash anti-join.
+    batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
     new_base = materialize_frame(
         minhash_signature_table(new_docs, id_col, text_col, shingle_k).join(
             old_base.select("doc"), "doc", "left_anti"
         )
     )
+    # Replay arm (rare): batch ids dropped by the anti-join were
+    # committed by a PRIOR attempt whose returned pairs may never have
+    # been durably consumed. Their signatures are in the snapshot, so
+    # the batch's pairs are re-derivable: band the committed rows as
+    # the query side too. Counts are cheap (batch_ids is the small
+    # batch frame; new_base is materialized) and the semi-join against
+    # the snapshot runs ONLY when a replay is detected — the normal
+    # path pays one distinct+count on the batch, nothing more.
+    n_batch = batch_ids.count()
+    n_new = new_base.count()
+    query_base = new_base
+    if n_new < n_batch:
+        replay_base = old_base.join(batch_ids, "doc", "left_semi")
+        query_base = new_base.unionByName(replay_base)
     all_base = old_base.unionByName(new_base)
 
     def banded(base: DataFrame, side: str) -> DataFrame:
@@ -201,7 +222,7 @@ def minhash_lsh_pairs_delta(
         )
 
     cand = (
-        banded(new_base, "id_n").join(banded(all_base, "id_o"), ["band_idx", "band_key"])
+        banded(query_base, "id_n").join(banded(all_base, "id_o"), ["band_idx", "band_key"])
         .filter(F.col("id_n") != F.col("id_o"))
         .select(
             F.least("id_n", "id_o").alias("id_a"),
@@ -219,5 +240,14 @@ def minhash_lsh_pairs_delta(
         .select("id_a", "id_b", "jaccard")
     )
     pairs = pairs.localCheckpoint()  # materialize BEFORE the append commit
-    write_snapshot(new_base, signature_root, mode="append")
+    if n_new:
+        # Record the batch size in the version's meta (audit trail for
+        # the replay contract above); skip the append entirely on a
+        # full replay so re-delivery never grows the version history.
+        write_snapshot(
+            new_base,
+            signature_root,
+            mode="append",
+            meta={"delta_batch_docs": n_new},
+        )
     return pairs

@@ -158,6 +158,30 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got_local == expected
 
 
+def test_driver_gate_counts_pairs_not_directed_rows(spark):
+    """ADVICE r7 regression: ``driver_max_edges`` gates on unique input
+    PAIRS, not on the symmetrized frame's directed rows (which is 2x
+    pairs and silently halved the effective cap). A graph of exactly N
+    unique pairs with driver_max_edges=N must take the driver
+    union-find arm."""
+    from mle_proj_datapipeline_spark.operators.dedup import connected_components_star
+
+    n_pairs = 10
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(n_pairs)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    labels = connected_components_star(
+        pairs, stats=stats, driver_max_edges=n_pairs
+    ).collect()
+    assert stats["mode"] == "driver-union-find"
+    assert len(labels) == 2 * n_pairs  # every node labeled
+    # and strictly above the cap the distributed kernel runs
+    stats2: dict = {}
+    connected_components_star(pairs, stats=stats2, driver_max_edges=n_pairs - 1).collect()
+    assert stats2["mode"] == "star"
+
+
 def test_star_cc_chain_converges_logarithmically(spark):
     """The adversarial case for min-label propagation: a 1000-node path
     graph (diameter 999). Large-star/small-star must label it correctly

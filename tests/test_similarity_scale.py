@@ -157,9 +157,13 @@ def test_incremental_minhash_delta(spark, tmp_path):
 
 
 def test_incremental_minhash_delta_replay_idempotent(spark, tmp_path):
-    """ADVICE regression: re-delivering the same batch (crash replay /
-    at-least-once upstream) must not duplicate signature rows in the
-    snapshot, and the replayed delta must emit no new pair rows."""
+    """ADVICE regression (r6 + r7): re-delivering the same batch (crash
+    replay / at-least-once upstream) must not duplicate signature rows
+    in the snapshot, AND must re-derive the batch's pairs from the
+    snapshot rather than return empty — a crash after the append commit
+    but before the caller durably consumed the first attempt's pairs
+    would otherwise silently lose them, breaking full == old ∪ delta
+    under at-least-once delivery."""
     import pyspark.sql.functions as F
 
     from mle_proj_datapipeline_spark.operators.dedup import (
@@ -168,6 +172,7 @@ def test_incremental_minhash_delta_replay_idempotent(spark, tmp_path):
     )
     from mle_proj_datapipeline_spark.sources.catalog import load_table
     from mle_proj_datapipeline_spark.sources.snapshots import (
+        history,
         read_snapshot,
         write_snapshot,
     )
@@ -178,15 +183,25 @@ def test_incremental_minhash_delta_replay_idempotent(spark, tmp_path):
     root = str(tmp_path / "sig_table")
 
     write_snapshot(minhash_signature_table(old, "doc_id", "text"), root)
-    first = minhash_lsh_pairs_delta(new, "doc_id", "text", root).collect()
+    first = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_delta(new, "doc_id", "text", root).collect()
+    }
     n_sigs = read_snapshot(spark, root).count()
+    n_versions = len(history(spark, root))
 
-    replay = minhash_lsh_pairs_delta(new, "doc_id", "text", root).collect()
-    assert replay == []  # every doc id already in the snapshot
+    replay = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_delta(new, "doc_id", "text", root).collect()
+    }
+    # The replayed batch's pairs are re-derived from the committed
+    # signatures — identical to the first attempt, never empty-on-data.
+    assert replay == first
     sigs = read_snapshot(spark, root)
     assert sigs.count() == n_sigs  # no duplicate signature rows
     assert sigs.select("doc").distinct().count() == n_sigs
-    assert len(first) >= 0
+    # A full replay appends nothing: the version history doesn't grow.
+    assert len(history(spark, root)) == n_versions
 
 
 def test_ivf_index_reuse_serves_without_training(spark, tmp_path_factory):
