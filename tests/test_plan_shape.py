@@ -508,3 +508,16 @@ def test_feature_store_build_plan_shape(spark):
     )
     # both silver aggregates partial-aggregate before their shuffle
     assert plan.count("HashAggregate") >= 4, f"missing partial aggs\n{plan}"
+
+
+def test_hotfix_anti_join_pushes_date_and_prunes(spark):
+    """Round-8 overlay (plans/hotfix_r8.customers_without_orders): the
+    date bound must reach the orders scan as a pushed filter — at 100 TB
+    the predicate prunes the anti-join's build side before the shuffle —
+    and the orders ReadSchema must stay at the two needed columns."""
+    plan = plan_of(spark, "customers_without_orders")
+    pushed = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
+    assert any("o_orderdate" in ln for ln in pushed), plan
+    assert "LeftAnti" in plan, plan
+    # orders side reads only o_custkey + o_orderdate (2 fields -> 3 colons)
+    assert min(read_schema_widths(plan)) <= 3, plan
