@@ -59,3 +59,20 @@ def test_dedup_facade_not_imported_by_engine_code():
             ):
                 offenders.append(str(py))
     assert not offenders, f"import the split kernel, not the facade: {offenders}"
+
+
+def test_hotfix_overlay_supersedes_relational_registration():
+    """Round-8 freeze-round overlay: the registered
+    customers_without_orders must be the hotfix_r8 version (last-write-
+    wins re-registration depends on import order in __spark_entry__ —
+    a reorder would silently revert to the vacuous 0-row anti-join).
+    Delete this test when the overlay is folded back into
+    plans/relational.py."""
+    import __spark_entry__ as entrymod
+    from mle_proj_datapipeline_spark.plans.registry import ORACLES, QUERIES
+
+    assert entrymod  # plan modules imported, registry populated
+    fn = QUERIES["customers_without_orders"]
+    assert fn.__module__ == "mle_proj_datapipeline_spark.plans.hotfix_r8"
+    # the oracle must be the date-bounded twin, not the vacuous form
+    assert "2000-01-01" in ORACLES["customers_without_orders"]
