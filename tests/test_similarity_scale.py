@@ -335,3 +335,51 @@ def test_lsh_indexed_rebuilds_on_source_change(spark, tmp_path_factory, monkeypa
     )
     r2 = {r["query_id"] for r in ann_lsh_indexed_top1(spark, sf_dir).collect()}
     assert r2 and min(r2) >= 1000, "index served the stale corpus after regeneration"
+
+
+def test_incremental_minhash_delta_partial_replay(spark, tmp_path):
+    """Partial re-delivery (an at-least-once upstream resends a batch
+    that grew): ids already committed by the earlier attempt are served
+    from the snapshot, genuinely-new ids are signed and appended, and
+    the returned pairs cover BOTH — the union of the two attempts'
+    pair sets equals the pairs of delivering the full batch once."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_delta,
+        minhash_signature_table,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 5 > 1)
+    batch_a = docs.filter(F.col("doc_id") % 5 == 0)  # first delivery
+    batch_ab = docs.filter(F.col("doc_id") % 5 <= 1)  # resend of A + new B
+    root = str(tmp_path / "sig_table")
+
+    write_snapshot(minhash_signature_table(old, "doc_id", "text"), root)
+    first = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_delta(batch_a, "doc_id", "text", root).collect()
+    }
+    partial = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_delta(batch_ab, "doc_id", "text", root).collect()
+    }
+    # Reference: one clean delivery of the union batch on a fresh root
+    root2 = str(tmp_path / "sig_table_ref")
+    write_snapshot(minhash_signature_table(old, "doc_id", "text"), root2)
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_delta(batch_ab, "doc_id", "text", root2).collect()
+    }
+    assert first | partial == ref
+    assert partial >= ref - first  # every new doc's pair was emitted
+    # no duplicate signatures after the partial replay
+    sigs = read_snapshot(spark, root)
+    assert sigs.count() == sigs.select("doc").distinct().count()
+    assert sigs.count() == old.count() + batch_ab.count()
