@@ -314,15 +314,24 @@ def _mutate(
     inject: bool = True,
     skew: bool = False,
     dup: bool = False,
+    single: bool = False,
 ) -> None:
     import datetime as dt
 
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         if name in FACT_TABLES:
-            # deterministic sample keyed on a hash of the row index
-            keep = [(i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)]
-            t = t.filter(pa.array(keep))
+            if single:
+                # singleton contract class: exactly ONE fact row — the
+                # boundary between the empty-input class and normal
+                # data (n=1 variances, one-point fits, one-doc corpora)
+                t = t.slice(0, 1)
+            else:
+                # deterministic sample keyed on a hash of the row index
+                keep = [
+                    (i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)
+                ]
+                t = t.filter(pa.array(keep))
             if dup:
                 t = _dup_rows(t, seed)
         if skew:
@@ -709,6 +718,54 @@ def test_every_registered_query_matches_oracle_on_duplicate_rows(
     assert not bad, f"divergence on duplicate-inflated data: {bad}"
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry singleton-facts sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_singleton_facts(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the singleton-fact-tables battery: EVERY
+    registered query on exactly-one-row fact tables must match its
+    oracle — the boundary the empty-input class misses: n=1 sample
+    variances and correlations, one-point regression/Zipf/Heaps fits,
+    single-doc corpora through BPE/LM/minhash, 0/0 ratios whose
+    denominators are counts-minus-one rather than counts. This class
+    found the six ANSI DIVIDE_BY_ZERO crashes fixed in round 9
+    (kappa/mcc, CUPED θ, SMD, KS with one empty sample, undefined AUC,
+    degenerate histogram width — all now try_divide, mirroring the
+    oracle's x/0 → NULL)."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_single_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_single_all_sf"))
+    _mutate(0, out_dir, inject=False, single=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on singleton fact tables: {bad}"
+
+
 # ---------------------------------------------------------------------------
 # Rotating default-on cross-section of the three exhaustive sweeps
 # (VERDICT r7 item 6): the SPARK_GRAFT_FUZZ_ALL sweeps above cover the
@@ -736,16 +793,23 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
 
 @pytest.mark.parametrize(
     "klass,offset",
-    [("mutated", 0), ("hot-keys", 55), ("empty-facts", 110), ("dup-rows", 82)],
+    [
+        ("mutated", 0),
+        ("hot-keys", 55),
+        ("empty-facts", 110),
+        ("dup-rows", 82),
+        ("single-facts", 137),
+    ],
 )
 def test_rotating_registry_slice_matches_oracle(
     spark, tmp_path_factory, monkeypatch, klass, offset
 ):
     """Default-on rotating cross-section: 15 registered queries per
     contract class (NULL-heavy mutation / hot-key skew / empty fact
-    tables / duplicate-row inflation) against their own oracles, slice
-    advancing with the round number — every CI run exercises all four
-    classes against fresh registry slices with zero env vars. The
+    tables / duplicate-row inflation / singleton fact tables) against
+    their own oracles, slice advancing with the round number — every CI
+    run exercises all five classes against fresh registry slices with
+    zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the three adjudicated DUP_EXCLUDE rows
     (FP-interpolation boundary point-mass; vid-keyed oracle encodings —
@@ -762,6 +826,8 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(5, out_dir, rate=60, skew=True)
     elif klass == "dup-rows":
         _mutate(13, out_dir, rate=100, inject=False, dup=True)
+    elif klass == "single-facts":
+        _mutate(0, out_dir, inject=False, single=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 
