@@ -608,4 +608,9 @@ def holt_weekly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z.f", 2).alias("fitted"),
         F.round("z.l", 2).alias("level"),
         F.round("z.b", 2).alias("trend"),
-    )
+        # A NULL weekly y poisons the recursion from that week on (NULL
+        # level/trend → NULL fitted); the declared semantic is the
+        # oracle's `WHERE fitted IS NOT NULL` — a week with no fitted
+        # value has no row (all-NULL-measure fuzz find, round 8). No-op
+        # for gap-free series.
+    ).where(F.col("fitted").isNotNull())
