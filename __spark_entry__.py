@@ -38,12 +38,6 @@ import mle_proj_datapipeline_spark.plans.featurize_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.served_queries  # noqa: F401,E402
 import mle_proj_datapipeline_spark.plans.feature_store  # noqa: F401,E402
 
-# Round-8 freeze-round hotfix overlay: re-registers (last-write-wins)
-# the one query VERDICT r7 required fixing, in a leaf module, so the
-# dep-closure freshness clock doesn't re-stale relational.py's other
-# 17 fresh rows. MUST import after plans.relational; fold back and
-# delete at the next non-freeze round (see the module docstring).
-import mle_proj_datapipeline_spark.plans.hotfix_r8  # noqa: F401,E402
 from mle_proj_datapipeline_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 from mle_proj_datapipeline_spark.session import tune_session  # noqa: E402
 

@@ -528,11 +528,14 @@ def roc_auc_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = h.withColumn("cum_neg_below", F.coalesce(F.sum("n_neg").over(wc), F.lit(0)))
     num = F.sum(F.col("n_pos") * (F.col("cum_neg_below") + 0.5 * F.col("n_neg")))
     den = F.sum("n_pos") * F.sum("n_neg")
+    # try_divide: an all-positive (or all-negative) sample has
+    # n_pos·n_neg = 0 — AUC is undefined, the oracle's x/0 is NULL, and
+    # ANSI `/` must not crash (singleton-fact fuzz find, round 8).
     return c.agg(
         F.sum("n_pos").cast("long").alias("n_pos"),
         F.sum("n_neg").cast("long").alias("n_neg"),
-        F.round(num / den, 4).alias("auc"),
-        F.round(F.lit(2) * num / den - 1, 4).alias("gini"),
+        F.round(F.try_divide(num, den), 4).alias("auc"),
+        F.round(F.try_divide(F.lit(2) * num, den) - 1, 4).alias("gini"),
     )
 
 
@@ -856,11 +859,14 @@ def agreement_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, c = F.col("s"), F.col("c")
     spt, sp2, st2 = F.col("spt"), F.col("sp2"), F.col("st2")
     num = (c * s - spt).cast("double")
+    # try_divide: a single-prediction (or marginal-degenerate) frame has
+    # s² = Σp·t, so kappa/mcc are 0/0 — the oracle's x/0 is NULL, and
+    # ANSI `/` must not crash (singleton-fact fuzz find, round 8).
     return t.select(
         s.alias("n"),
-        F.round(c.cast("double") / s, 4).alias("accuracy"),
-        F.round(num / (s * s - spt), 4).alias("kappa"),
+        F.round(F.try_divide(c.cast("double"), s), 4).alias("accuracy"),
+        F.round(F.try_divide(num, s * s - spt), 4).alias("kappa"),
         F.round(
-            num / F.sqrt((s * s - sp2).cast("double") * (s * s - st2)), 4
+            F.try_divide(num, F.sqrt((s * s - sp2).cast("double") * (s * s - st2))), 4
         ).alias("mcc"),
     )

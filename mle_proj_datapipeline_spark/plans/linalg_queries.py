@@ -251,7 +251,11 @@ def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round("m", 6).alias("mean_v"),
         (F.round(F.col("m") - F.col("gm"), 6) + F.lit(0.0)).alias("mean_shift"),
+        # try_divide: a single-vector corpus has σ_all = 0, so SMD is
+        # 0/0 — the oracle's x/0 is NULL, and ANSI `/` must not crash
+        # (singleton-fact fuzz find, round 8).
         (
-            F.round((F.col("m") - F.col("gm")) / F.sqrt("gvar"), 4) + F.lit(0.0)
+            F.round(F.try_divide(F.col("m") - F.col("gm"), F.sqrt("gvar")), 4)
+            + F.lit(0.0)
         ).alias("smd"),
     )

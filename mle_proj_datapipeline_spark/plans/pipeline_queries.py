@@ -80,9 +80,15 @@ def impute_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    mean = compute_means(d, ["bal_n"])["bal_n"]
-    fill = math.floor(mean * 100 + 0.5) / 100  # deterministic 2-dec rounding
-    filled = impute(d, ImputeSpec(constants={"bal_n": fill}, flag_cols=["bal_n"]))
+    # compute_means drops undefined means (all values NULL), so .get():
+    # with no fill value the coalesce is a no-op and avg_bal degrades to
+    # NULL per segment, exactly the oracle's coalesce(bal_n, NULL)
+    # (all-NULL-measure fuzz find, round 8 — the [] lookup was a
+    # KeyError crash).
+    mean = compute_means(d, ["bal_n"]).get("bal_n")
+    fill = None if mean is None else math.floor(mean * 100 + 0.5) / 100
+    constants = {} if fill is None else {"bal_n": fill}
+    filled = impute(d, ImputeSpec(constants=constants, flag_cols=["bal_n"]))
     return filled.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.sum("bal_n_missing").alias("n_missing"),
         (F.round(F.sum("bal_n"), 2) / F.count(F.lit(1))).alias("avg_bal"),

@@ -109,8 +109,16 @@ def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     max clamps into the top bucket."""
     o = load_table(spark, sf_dir, "orders")
     b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    # try_divide: a single-distinct-price table has hi = lo, so the
+    # bucket ratio is 0/0 — the oracle's x/0 is NULL, least(NULL, 10)
+    # skips the NULL in BOTH engines (everything lands in the top
+    # bucket), and ANSI `/` must not crash (singleton-fact fuzz find,
+    # round 8).
     bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast("long")
+        F.floor(
+            F.try_divide(F.col("o_totalprice") - F.col("lo"), F.col("hi") - F.col("lo"))
+            * 10
+        ).cast("long")
         + 1,
         F.lit(10).cast("long"),
     )

@@ -339,11 +339,14 @@ def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
+            # try_divide: one sample empty (ta or tb = 0) makes the KS
+            # CDF 0/0 — the oracle's x/0 is NULL, and ANSI `/` must not
+            # crash (singleton-fact fuzz find, round 8).
             F.round(
                 F.max(
                     F.abs(
-                        F.col("ca").cast("double") / F.col("ta")
-                        - F.col("cb").cast("double") / F.col("tb")
+                        F.try_divide(F.col("ca").cast("double"), F.col("ta"))
+                        - F.try_divide(F.col("cb").cast("double"), F.col("tb"))
                     )
                 ),
                 4,

@@ -373,10 +373,14 @@ def cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("x") * F.col("x")) / cnt
          - (F.sum("x") / cnt) * (F.sum("x") / cnt)).alias("vx"),
     )
+    # try_divide: a single-user frame has var(x) = 0, so θ is 0/0 — the
+    # oracle's x/0 is NULL (ŷ degrades to NULL, the declared answer when
+    # CUPED is undefined), and ANSI `/` must not crash (singleton-fact
+    # fuzz find, round 8).
     adj = u.crossJoin(F.broadcast(m)).select(
         "grp",
         "y",
-        (F.col("y") - (F.col("cxy") / F.col("vx")) * (F.col("x") - F.col("mx"))).alias("ya"),
+        (F.col("y") - F.try_divide(F.col("cxy"), F.col("vx")) * (F.col("x") - F.col("mx"))).alias("ya"),
     )
     c = F.count(F.lit(1))
     return adj.groupBy("grp").agg(
@@ -604,4 +608,9 @@ def holt_weekly_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z.f", 2).alias("fitted"),
         F.round("z.l", 2).alias("level"),
         F.round("z.b", 2).alias("trend"),
-    )
+        # A NULL weekly y poisons the recursion from that week on (NULL
+        # level/trend → NULL fitted); the declared semantic is the
+        # oracle's `WHERE fitted IS NOT NULL` — a week with no fitted
+        # value has no row (all-NULL-measure fuzz find, round 8). No-op
+        # for gap-free series.
+    ).where(F.col("fitted").isNotNull())

@@ -61,18 +61,16 @@ def test_dedup_facade_not_imported_by_engine_code():
     assert not offenders, f"import the split kernel, not the facade: {offenders}"
 
 
-def test_hotfix_overlay_supersedes_relational_registration():
-    """Round-8 freeze-round overlay: the registered
-    customers_without_orders must be the hotfix_r8 version (last-write-
-    wins re-registration depends on import order in __spark_entry__ —
-    a reorder would silently revert to the vacuous 0-row anti-join).
-    Delete this test when the overlay is folded back into
-    plans/relational.py."""
+def test_customers_without_orders_is_date_bounded():
+    """Round-9 fold-back of the round-8 hotfix_r8 overlay: the
+    registration lives in plans/relational.py again and must keep the
+    date-bounded oracle — the pure anti-join form proves 0 == 0 at
+    every test SF (VERDICT r7 Next #2)."""
     import __spark_entry__ as entrymod
     from mle_proj_datapipeline_spark.plans.registry import ORACLES, QUERIES
 
     assert entrymod  # plan modules imported, registry populated
     fn = QUERIES["customers_without_orders"]
-    assert fn.__module__ == "mle_proj_datapipeline_spark.plans.hotfix_r8"
+    assert fn.__module__ == "mle_proj_datapipeline_spark.plans.relational"
     # the oracle must be the date-bounded twin, not the vacuous form
     assert "2000-01-01" in ORACLES["customers_without_orders"]

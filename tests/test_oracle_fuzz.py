@@ -294,6 +294,16 @@ DUP_EXCLUDE = {
 }
 
 
+# Measure columns per table for the all-NULL-measure class
+# (keys/dates/categoricals untouched so joins and spines survive).
+_ALL_NULL_MEASURES = {
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "events": ["value"],
+    "customer": ["c_acctbal"],
+}
+
+
 def _dup_rows(t: pa.Table, seed: int) -> pa.Table:
     n = t.num_rows
     if n == 0:
@@ -314,15 +324,46 @@ def _mutate(
     inject: bool = True,
     skew: bool = False,
     dup: bool = False,
+    single: bool = False,
+    measures_null: bool = False,
+    reorder: bool = False,
 ) -> None:
     import datetime as dt
 
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if reorder and name in FACT_TABLES and t.num_rows:
+            # row-order-invariance contract class: the same multiset of
+            # rows in REVERSED order — a deterministic query must not
+            # notice (unsorted collect_list folds, first() without
+            # ordering, and underspecified tie-breaks all would); at
+            # cluster scale partition order is arbitrary, so scan-order
+            # dependence is a latent wrong-answer bug.
+            t = t.take(list(range(t.num_rows - 1, -1, -1)))
+        if measures_null:
+            # all-NULL-measure contract class: every nullable MEASURE
+            # column NULLed in all rows (keys/dates/categoricals keep
+            # their values) — aggregates see only NULLs, breakpoint
+            # grids go NULL, recursions poison, while group spines
+            # remain. Found the KeyError on an undefined imputation
+            # mean and Holt emitting NULL-fitted rows (round 8).
+            for col in _ALL_NULL_MEASURES.get(name, []):
+                fi = t.schema.get_field_index(col)
+                t = t.set_column(
+                    fi, t.schema.field(fi), pa.nulls(t.num_rows, t.schema.field(fi).type)
+                )
         if name in FACT_TABLES:
-            # deterministic sample keyed on a hash of the row index
-            keep = [(i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)]
-            t = t.filter(pa.array(keep))
+            if single:
+                # singleton contract class: exactly ONE fact row — the
+                # boundary between the empty-input class and normal
+                # data (n=1 variances, one-point fits, one-doc corpora)
+                t = t.slice(0, 1)
+            else:
+                # deterministic sample keyed on a hash of the row index
+                keep = [
+                    (i * 2654435761 + seed) % 100 < rate for i in range(t.num_rows)
+                ]
+                t = t.filter(pa.array(keep))
             if dup:
                 t = _dup_rows(t, seed)
         if skew:
@@ -709,6 +750,145 @@ def test_every_registered_query_matches_oracle_on_duplicate_rows(
     assert not bad, f"divergence on duplicate-inflated data: {bad}"
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry singleton-facts sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_singleton_facts(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the singleton-fact-tables battery: EVERY
+    registered query on exactly-one-row fact tables must match its
+    oracle — the boundary the empty-input class misses: n=1 sample
+    variances and correlations, one-point regression/Zipf/Heaps fits,
+    single-doc corpora through BPE/LM/minhash, 0/0 ratios whose
+    denominators are counts-minus-one rather than counts. This class
+    found the six ANSI DIVIDE_BY_ZERO crashes fixed in round 9
+    (kappa/mcc, CUPED θ, SMD, KS with one empty sample, undefined AUC,
+    degenerate histogram width — all now try_divide, mirroring the
+    oracle's x/0 → NULL)."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_single_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_single_all_sf"))
+    _mutate(0, out_dir, inject=False, single=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on singleton fact tables: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry all-NULL-measure sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_all_null_measures(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the all-NULL-measure battery: EVERY registered
+    query on fact tables whose measure columns are entirely NULL must
+    match its oracle — the aggregate-degradation boundary the row-level
+    NULL class misses: undefined global means/breakpoints, recursions
+    fed only NULLs, scores that vanish while the group spine remains.
+    Found the impute_mean_acctbal KeyError (undefined mean) and
+    holt_weekly_forecast emitting NULL-fitted rows the oracle drops
+    (round 8; both fixed in round 9)."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_allnull_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_allnull_all_sf"))
+    _mutate(0, out_dir, rate=100, inject=False, measures_null=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on all-NULL measures: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry row-order sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_reversed_rows(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the row-order-invariance battery: EVERY
+    registered query on fact tables written in reversed row order must
+    match its oracle — the same multiset, so any divergence is an
+    implicit scan-order dependence (unsorted collect_list folds,
+    first() without ordering, underspecified tie-breaks) that becomes a
+    wrong answer at cluster scale where partition order is arbitrary.
+    Round-8 certification: 165/165 green, zero order-dependent plans."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_reorder_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_reorder_all_sf"))
+    _mutate(0, out_dir, rate=100, inject=False, reorder=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"scan-order dependence on reversed rows: {bad}"
+
+
 # ---------------------------------------------------------------------------
 # Rotating default-on cross-section of the three exhaustive sweeps
 # (VERDICT r7 item 6): the SPARK_GRAFT_FUZZ_ALL sweeps above cover the
@@ -736,15 +916,24 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
 
 @pytest.mark.parametrize(
     "klass,offset",
-    [("mutated", 0), ("hot-keys", 55), ("empty-facts", 110), ("dup-rows", 82)],
+    [
+        ("mutated", 0),
+        ("hot-keys", 55),
+        ("empty-facts", 110),
+        ("dup-rows", 82),
+        ("single-facts", 137),
+        ("all-null-measures", 29),
+        ("reversed-rows", 101),
+    ],
 )
 def test_rotating_registry_slice_matches_oracle(
     spark, tmp_path_factory, monkeypatch, klass, offset
 ):
     """Default-on rotating cross-section: 15 registered queries per
     contract class (NULL-heavy mutation / hot-key skew / empty fact
-    tables / duplicate-row inflation) against their own oracles, slice
-    advancing with the round number — every CI run exercises all four
+    tables / duplicate-row inflation / singleton fact tables / all-NULL
+    measures / reversed row order) against their own oracles, slice
+    advancing with the round number — every CI run exercises all seven
     classes against fresh registry slices with zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the three adjudicated DUP_EXCLUDE rows
@@ -762,6 +951,12 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(5, out_dir, rate=60, skew=True)
     elif klass == "dup-rows":
         _mutate(13, out_dir, rate=100, inject=False, dup=True)
+    elif klass == "single-facts":
+        _mutate(0, out_dir, inject=False, single=True)
+    elif klass == "all-null-measures":
+        _mutate(0, out_dir, rate=100, inject=False, measures_null=True)
+    elif klass == "reversed-rows":
+        _mutate(0, out_dir, rate=100, inject=False, reorder=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 

@@ -511,10 +511,11 @@ def test_feature_store_build_plan_shape(spark):
 
 
 def test_hotfix_anti_join_pushes_date_and_prunes(spark):
-    """Round-8 overlay (plans/hotfix_r8.customers_without_orders): the
-    date bound must reach the orders scan as a pushed filter — at 100 TB
-    the predicate prunes the anti-join's build side before the shuffle —
-    and the orders ReadSchema must stay at the two needed columns."""
+    """customers_without_orders (plans/relational.py, folded back from
+    the round-8 overlay): the date bound must reach the orders scan as a
+    pushed filter — at 100 TB the predicate prunes the anti-join's build
+    side before the shuffle — and the orders ReadSchema must stay at the
+    two needed columns."""
     plan = plan_of(spark, "customers_without_orders")
     pushed = [ln for ln in plan.splitlines() if ln.startswith("PushedFilters:")]
     assert any("o_orderdate" in ln for ln in pushed), plan
