@@ -171,23 +171,7 @@ def _coverage_order(names: list[str]) -> list[str]:
             if row_time >= impl_mtime(name):
                 fresh[name] += 1
     index = {n: i for i, n in enumerate(names)}
-    order = sorted(names, key=lambda n: (fresh[n], total[n], index[n]))
-    # Judge-requested rows (VERDICT r7 "Next" #2/#3): these three must
-    # land inside the driver's 50-row window this round, but their high
-    # historical row counts sort them at positions 95-153 — behind the
-    # never/rarely-checked stale pool. Pin them to the front (only
-    # while their current row is stale; once fresh they rotate
-    # normally). Remove the pins when the verdict confirms the rows.
-    pinned = [
-        n
-        for n in (
-            "customers_without_orders",  # re-shaped: must re-verify with rows > 0
-            "part_value_concentration",  # re-thresholded in r7, no post-fix row
-            "idle_customer_balance",  # re-thresholded in r7, no post-fix row
-        )
-        if n in fresh and fresh[n] == 0
-    ]
-    return pinned + [n for n in order if n not in pinned]
+    return sorted(names, key=lambda n: (fresh[n], total[n], index[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -116,9 +116,10 @@ HEADLINE = [
 ]
 
 
-def _prev_round_timings() -> dict[str, float]:
-    """Per-query steady-state timings from the latest BENCH_r*.json in
-    the repo root (empty if none) — enables round-over-round deltas."""
+def _prev_round_timings() -> tuple[dict[str, float], float]:
+    """Per-query steady-state timings (and the calibration-probe JVM
+    seconds, 0.0 if the round predates the probe) from the latest
+    BENCH_r*.json in the repo root — enables round-over-round deltas."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -132,10 +133,52 @@ def _prev_round_timings() -> dict[str, float]:
             d = d.get("parsed", d) if isinstance(d, dict) else {}
             q = dict((d or {}).get("queries", {}))
             if q:
-                return q
+                # calib rides in the compact line from round 9 on; for
+                # earlier rounds it is 0.0 and normalization is skipped
+                # (a same-round BENCH_DETAIL fallback would pair prev-
+                # round timings with this round's environment — wrong
+                # epoch, worse than no normalization).
+                return q, float((d or {}).get("calib", 0.0) or 0.0)
         except (OSError, ValueError, AttributeError):
             continue
-    return {}
+    return {}, 0.0
+
+
+def _calibration_probe(spark) -> dict[str, float]:
+    """Fixed-cost environment probe (VERDICT r8 item 4): a constant-size
+    JVM-only aggregation and a constant-size DuckDB scan, each the median
+    of 3 runs. Neither touches the engine or the test data, so their
+    round-over-round movement measures ENVIRONMENT drift (CPU contention,
+    JVM/JIT state, container throttling) — per-query deltas can then be
+    normalized by the probe ratio instead of re-adjudicating 10-18%
+    whole-bench swings query by query (rounds 7 and 8 both paid that tax).
+    """
+    jvm_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        jvm_runs.append(time.perf_counter() - t0)
+    duck_runs: list[float] = []
+    try:
+        import duckdb
+
+        for _ in range(3):
+            t0 = time.perf_counter()
+            duckdb.sql(
+                "SELECT sum(i * 2654435761 % 1000003) FROM range(20000000) t(i)"
+            ).fetchall()
+            duck_runs.append(time.perf_counter() - t0)
+    except Exception:
+        duck_runs = [0.0]
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    return {"jvm": round(med(jvm_runs), 3), "duckdb": round(med(duck_runs), 3)}
 
 
 def _release_checkpoints(spark) -> None:
@@ -167,6 +210,8 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    calib = _calibration_probe(spark)
 
     # Pass 1 (cold): includes one-time Catalyst planning + whole-stage
     # codegen compilation per query. Pass 2 (steady state): the
@@ -204,10 +249,25 @@ def main() -> None:
         n: {"min": min(rs), "max": max(rs), "runs": rs} for n, rs in runs.items()
     }
 
-    prev = _prev_round_timings()
+    prev, prev_calib = _prev_round_timings()
     deltas = {
         n: round(timings[n] - prev[n], 3) for n in timings if n in prev
     }
+    # Drift-normalized deltas: scale this round's timing by the inverse
+    # of the environment-probe ratio before differencing. Only available
+    # once the previous round also carried the probe.
+    drift_ratio = (
+        round(calib["jvm"] / prev_calib, 4) if prev_calib > 0 else None
+    )
+    deltas_norm = (
+        {
+            n: round(timings[n] / drift_ratio - prev[n], 3)
+            for n in timings
+            if n in prev
+        }
+        if drift_ratio
+        else {}
+    )
     # The driver captures only the tail (~2 KB) of stdout, so the line it
     # parses must stay compact: steady-state totals + per-query warm only,
     # tight separators, 2-decimal precision. Cold timings and
@@ -222,32 +282,47 @@ def main() -> None:
         "cold_value": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "delta_vs_prev_round": deltas,
+        "delta_vs_prev_round_drift_normalized": deltas_norm,
+        "calibration_probe": calib,
+        "calibration_probe_prev_jvm": prev_calib,
+        "drift_ratio_vs_prev": drift_ratio,
         "warm_reps": reps,
         "warm_spread": spread,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     # Only the canonical sf0.1 run owns the committed artifact — a quick
-    # probe at another SF must not clobber the round's detail file.
-    if abs(sf - 0.1) < 1e-9:
-        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+    # probe at another SF must not clobber it, and the DRIVER's per-round
+    # pass must not dirty the working tree either (VERDICT r8 item 6):
+    # non-canonical runs write to BENCH_DETAIL_last.json (gitignored).
+    canonical = os.environ.get("SPARK_GRAFT_BENCH_CANONICAL", "") == "1"
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if (canonical and abs(sf - 0.1) < 1e-9)
+        else "BENCH_DETAIL_last.json"
+    )
+    with open(os.path.join(here, detail_name), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     compact = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf,
+        "calib": round(calib["jvm"], 2),
     }
     line = json.dumps(compact, separators=(",", ":"))
-    # Hard guard: the driver tail is ~2 KB. Degrade gracefully as the
-    # headline list grows: first drop per-query precision to 1 decimal
-    # (full 3-decimal medians + spread live in BENCH_DETAIL.json), and
-    # only if even that overflows drop per-query detail entirely.
-    if len(line) > 1900:
+    # Hard guard: the driver keeps the LAST 2000 chars of output and our
+    # line is the final thing printed (r8 measured: line at 1887 chars
+    # ended exactly at the tail boundary), so ≤1950 leaves real margin.
+    # Degrade gracefully as the headline list grows: first drop per-query
+    # precision to 1 decimal (full 3-decimal medians + spread live in
+    # BENCH_DETAIL.json), and only if even that overflows drop per-query
+    # detail entirely.
+    if len(line) > 1950:
         compact["queries"] = {n: round(t, 1) for n, t in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > 1950:
         compact["queries"] = {}
         compact["queries_in"] = "BENCH_DETAIL.json"
         line = json.dumps(compact, separators=(",", ":"))
