@@ -8,7 +8,15 @@ quantile_cont; at 100 TB swap in percentile_approx — the sketch path —
 and accept approximate breakpoints), broadcast the 9 breakpoints, bucket
 via a filtered-array count, aggregate both series in one pass each.
 Fractions are clamped at 1e-6 (the reference clamps at 1e-10 via
-np.where; any positive epsilon regularizes ln(0))."""
+np.where; any positive epsilon regularizes ln(0)).
+
+Breakpoints are ROUNDED TO 6 DECIMALS before bucketing, and every
+oracle that buckets against quantile_cont must round identically: the
+two engines' linear-interpolation arithmetic can land a breakpoint
+O(1e-12) apart, and when a duplicate point-mass sits exactly on a
+decile boundary (the dup-rows fuzz class) that noise flips `v > bp`
+for every copy at once. Rounding pins one half-open convention; a
+genuine ≥1e-6 breakpoint difference still diverges."""
 
 from __future__ import annotations
 
@@ -33,7 +41,10 @@ def psi(
     (the reference semantics)."""
     qs = [i / buckets for i in range(1, buckets)]
     bps = expected.agg(
-        F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])).alias("bps")
+        F.transform(
+            F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])),
+            lambda b: F.round(b, 6),
+        ).alias("bps")
     )
 
     def frac_by_bucket(df: DataFrame, name: str) -> DataFrame:

@@ -128,7 +128,9 @@ def order_flag_recodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
     a AS (SELECT o_totalprice AS v FROM orders
           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
-    bps AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b FROM e),
+    bps AS (SELECT list_transform(
+                quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                x -> round(x, 6)) AS b FROM e),
     eb AS (SELECT len(list_filter((SELECT b FROM bps), x -> v > x)) AS bucket FROM e),
     ab AS (SELECT len(list_filter((SELECT b FROM bps), x -> v > x)) AS bucket FROM a),
     ec AS (SELECT bucket, count(*) AS e_cnt FROM eb GROUP BY bucket),

@@ -241,7 +241,9 @@ PSI_QS = [i / 10 for i in range(1, 10)]
         FROM orders),
     b AS (SELECT min(wk) AS bwk FROM wko),
     bps AS (
-        SELECT quantile_cont(v, [{", ".join(str(q) for q in PSI_QS)}]) AS bps
+        SELECT list_transform(
+            quantile_cont(v, [{", ".join(str(q) for q in PSI_QS)}]),
+            x -> round(x, 6)) AS bps
         FROM wko, b WHERE wk = bwk),
     bk AS (SELECT wk, len(list_filter(bps, x -> v > x)) AS bucket FROM wko, bps),
     cnt AS (SELECT wk, bucket, count(*) AS n FROM bk GROUP BY wk, bucket),
@@ -301,7 +303,15 @@ def weekly_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bps = (
         wko.crossJoin(F.broadcast(bwk))
         .filter(F.col("wk") == F.col("bwk"))
-        .agg(F.percentile(F.col("v"), F.array(*[F.lit(q) for q in PSI_QS])).alias("bps"))
+        .agg(
+            # 6-decimal breakpoint convention — see operators/psi.py:
+            # pins the half-open bucket edge against O(1e-12)
+            # cross-engine interpolation noise on boundary point-masses.
+            F.transform(
+                F.percentile(F.col("v"), F.array(*[F.lit(q) for q in PSI_QS])),
+                lambda b: F.round(b, 6),
+            ).alias("bps")
+        )
     )
     bucket = F.size(F.filter(F.col("bps"), lambda b: F.col("v") > b))
     cnt = (
