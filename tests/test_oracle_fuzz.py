@@ -340,11 +340,31 @@ def _mutate(
     single: bool = False,
     measures_null: bool = False,
     reorder: bool = False,
+    dims_orphan: bool = False,
 ) -> None:
     import datetime as dt
 
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if dims_orphan:
+            # orphan-FK contract class: sample the PARENT/dim tables
+            # (facts stay intact) so fact foreign keys dangle — the
+            # inverse of the row-sample class, which orphans
+            # lineitem→orders but never orders→customer or
+            # lineitem→part/supplier. Stresses inner-vs-left join
+            # choices, broadcast dim joins, dim-keyed codebooks and
+            # target encodings, spine builds, and ref-integrity
+            # reports. Also drops one whole nation, dangling the
+            # customer/supplier→nation→region chain.
+            if name in ("customer", "supplier", "part"):
+                keep = [
+                    (i * 2654435761 + seed) % 100 < 55 for i in range(t.num_rows)
+                ]
+                t = t.filter(pa.array(keep))
+            elif name == "nation":
+                import pyarrow.compute as pc
+
+                t = t.filter(pc.not_equal(t.column("n_nationkey"), 3))
         if reorder and name in FACT_TABLES and t.num_rows:
             # row-order-invariance contract class: the same multiset of
             # rows in REVERSED order — a deterministic query must not
@@ -766,6 +786,53 @@ def test_every_registered_query_matches_oracle_on_duplicate_rows(
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry orphan-dims sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_orphan_dims(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the orphan-FK battery: EVERY registered query
+    on DIM/parent tables sampled to ~55% (one nation dropped outright)
+    while fact tables stay intact must match its oracle — dangling
+    o_custkey / l_partkey / l_suppkey / nationkey chains flip the
+    result of any plan that assumed referential integrity (an inner
+    join where the declared semantics are left, a dim-keyed codebook
+    that silently drops unknown keys, a spine built from the dim side).
+    Both engines read the same parquet, so a divergence is the engine
+    disagreeing with its own oracle, not dirty data."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_orph_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_orph_all_sf"))
+    _mutate(3, out_dir, rate=100, inject=False, dims_orphan=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on orphan-FK dims: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
     reason="full-registry singleton-facts sweep: set SPARK_GRAFT_FUZZ_ALL=1",
 )
 def test_every_registered_query_matches_oracle_on_singleton_facts(
@@ -956,6 +1023,7 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
         ("single-facts", 137),
         ("all-null-measures", 29),
         ("reversed-rows", 101),
+        ("orphan-dims", 17),
     ],
 )
 def test_rotating_registry_slice_matches_oracle(
@@ -964,9 +1032,10 @@ def test_rotating_registry_slice_matches_oracle(
     """Default-on rotating cross-section: 15 registered queries per
     contract class (NULL-heavy mutation / hot-key skew / empty fact
     tables / duplicate-row inflation / singleton fact tables / all-NULL
-    measures / reversed row order) against their own oracles, slice
-    advancing with the round number — every CI run exercises all seven
-    classes against fresh registry slices with zero env vars. The
+    measures / reversed row order / orphan-FK dims) against their own
+    oracles, slice advancing with the round number — every CI run
+    exercises all eight classes against fresh registry slices with
+    zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the structurally-detected vid-keyed-oracle
     rows (see _dup_excluded above)."""
@@ -988,6 +1057,8 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(0, out_dir, rate=100, inject=False, measures_null=True)
     elif klass == "reversed-rows":
         _mutate(0, out_dir, rate=100, inject=False, reorder=True)
+    elif klass == "orphan-dims":
+        _mutate(3, out_dir, rate=100, inject=False, dims_orphan=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 
