@@ -341,11 +341,30 @@ def _mutate(
     measures_null: bool = False,
     reorder: bool = False,
     dims_orphan: bool = False,
+    measures_negate: bool = False,
 ) -> None:
     import datetime as dt
 
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if measures_negate:
+            # negative-measures contract class: ~25% of each measure
+            # column's values sign-flipped (keys/dates/categoricals
+            # intact) — refunds/chargebacks/corrections are normal fact
+            # data, and they stress log/sqrt domains (NaN vs NULL),
+            # signed sums crossing zero, magnitude-assuming buckets and
+            # ratios, and winsorization bounds. Same parquet both
+            # engines, so divergence = engine vs its own oracle.
+            import pyarrow.compute as pc
+
+            for col in _ALL_NULL_MEASURES.get(name, []):
+                fi = t.schema.get_field_index(col)
+                c = t.column(col)
+                mask = pa.array(
+                    [(i * 2654435761 + seed) % 4 == 0 for i in range(t.num_rows)]
+                )
+                flipped = pc.if_else(mask, pc.negate(c.combine_chunks()), c)
+                t = t.set_column(fi, t.schema.field(fi), flipped)
         if dims_orphan:
             # orphan-FK contract class: sample the PARENT/dim tables
             # (facts stay intact) so fact foreign keys dangle — the
@@ -786,6 +805,50 @@ def test_every_registered_query_matches_oracle_on_duplicate_rows(
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry negative-measures sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_negated_measures(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the negative-measures battery: EVERY
+    registered query on fact tables where ~25% of each measure
+    column's values are sign-flipped (refunds/chargebacks/corrections)
+    must match its oracle — log/sqrt domain edges (NaN vs NULL), sums
+    crossing zero, magnitude-assuming buckets/ratios, winsorization
+    bounds, and drift metrics over signed distributions."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_neg_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_neg_all_sf"))
+    _mutate(7, out_dir, rate=100, inject=False, measures_negate=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on sign-flipped measures: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
     reason="full-registry orphan-dims sweep: set SPARK_GRAFT_FUZZ_ALL=1",
 )
 def test_every_registered_query_matches_oracle_on_orphan_dims(
@@ -1024,6 +1087,7 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
         ("all-null-measures", 29),
         ("reversed-rows", 101),
         ("orphan-dims", 17),
+        ("negated-measures", 123),
     ],
 )
 def test_rotating_registry_slice_matches_oracle(
@@ -1032,10 +1096,10 @@ def test_rotating_registry_slice_matches_oracle(
     """Default-on rotating cross-section: 15 registered queries per
     contract class (NULL-heavy mutation / hot-key skew / empty fact
     tables / duplicate-row inflation / singleton fact tables / all-NULL
-    measures / reversed row order / orphan-FK dims) against their own
-    oracles, slice advancing with the round number — every CI run
-    exercises all eight classes against fresh registry slices with
-    zero env vars. The
+    measures / reversed row order / orphan-FK dims / sign-flipped
+    measures) against their own oracles, slice advancing with the round
+    number — every CI run exercises all nine classes against fresh
+    registry slices with zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the structurally-detected vid-keyed-oracle
     rows (see _dup_excluded above)."""
@@ -1059,6 +1123,8 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(0, out_dir, rate=100, inject=False, reorder=True)
     elif klass == "orphan-dims":
         _mutate(3, out_dir, rate=100, inject=False, dims_orphan=True)
+    elif klass == "negated-measures":
+        _mutate(7, out_dir, rate=100, inject=False, measures_negate=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 
