@@ -43,18 +43,49 @@ from pyspark.sql import Column, DataFrame
 DELIM = "||"
 
 
-def encode_tokens(text: Column | str, max_chars: int = 64) -> Column:
-    """Initial token stream: lowercase, truncate, strip the delimiter
-    char, spaces to '_' (visible-space marker), one token per char,
-    double-delimited. ``||h||e||l||l||o||``."""
+def clean_text(text: Column | str, max_chars: int = 64) -> Column:
+    """Canonicalized text the BPE stream is built from: case-fold,
+    truncate to ``max_chars`` code points, strip the delimiter char,
+    spaces to '_' (visible-space marker).
+
+    Case-fold convention pin (round 9, unicode contract class): the two
+    places Java's full case mapping diverges from per-codepoint folding
+    are pre-substituted BEFORE ``lower()`` —
+
+    - ``İ`` (U+0130) → ``i`` + U+0307, the only unconditional lowercase
+      EXPANSION in Unicode (SpecialCasing.txt). Spark's ``lower`` (Java
+      full mapping) already produces exactly this, so engine output is
+      unchanged; DuckDB's per-codepoint ``lower`` yields a bare ``i``,
+      which silently diverged the cross-engine stream (caught by the
+      unicode fuzz class on 'İstanbul').
+    - ``Σ`` (U+03A3) → ``σ`` unconditionally, declaring away Java's
+      context-sensitive Final_Sigma rule (word-final Σ → ς) that
+      per-codepoint engines don't apply.
+
+    With both pinned, ``lower()`` degenerates to a pure per-codepoint
+    map in BOTH engines, making the token stream bit-identical in Spark
+    and DuckDB and independent of the JVM default locale. The oracles
+    mirror the same two replaces (plans/llm_text_queries)."""
     c = F.col(text) if isinstance(text, str) else text
-    clean = F.replace(
-        F.replace(F.substring(F.lower(c), 1, max_chars), F.lit("|"), F.lit("")),
+    folded = F.replace(
+        F.replace(c, F.lit("İ"), F.lit("i̇")),
+        F.lit("Σ"),
+        F.lit("σ"),
+    )
+    return F.replace(
+        F.replace(F.substring(F.lower(folded), 1, max_chars), F.lit("|"), F.lit("")),
         F.lit(" "),
         F.lit("_"),
     )
+
+
+def encode_tokens(text: Column | str, max_chars: int = 64) -> Column:
+    """Initial token stream over ``clean_text``: one token per char,
+    double-delimited. ``||h||e||l||l||o||``."""
     return F.concat(
-        F.lit(DELIM), F.array_join(F.split(clean, ""), DELIM), F.lit(DELIM)
+        F.lit(DELIM),
+        F.array_join(F.split(clean_text(text, max_chars), ""), DELIM),
+        F.lit(DELIM),
     )
 
 

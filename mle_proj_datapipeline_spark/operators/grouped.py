@@ -66,7 +66,12 @@ def per_user_trend(events: DataFrame, min_points: int = 2) -> DataFrame:
         .select(
             "user_id",
             "n",
-            F.round("slope_per_day", 4).alias("slope_per_day"),
-            F.round("intercept", 4).alias("intercept"),
+            # + 0.0 normalizes IEEE negative zero: with a constant y the
+            # slope numerator is an order-of-summation epsilon that can
+            # round to -0.0 in one engine and +0.0 in the other
+            # (zero-variance fuzz find, round 9); -0.0 + 0.0 == +0.0,
+            # every other value is unchanged. The oracle mirrors it.
+            (F.round("slope_per_day", 4) + F.lit(0.0)).alias("slope_per_day"),
+            (F.round("intercept", 4) + F.lit(0.0)).alias("intercept"),
         )
     )

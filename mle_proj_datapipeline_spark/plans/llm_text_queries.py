@@ -282,6 +282,15 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 6
 _BPE_CHARS = 64
 
+# Oracle half of the case-fold convention pin (see
+# operators/bpe.clean_text): İ (U+0130) → i+U+0307 — the one
+# unconditional lowercase EXPANSION, which Spark's Java full case
+# mapping applies but DuckDB's per-codepoint lower does not — and
+# Σ → σ unconditionally, declaring away Java's context-sensitive
+# Final_Sigma rule. With both substituted before lower(), the fold is
+# a pure per-codepoint map in BOTH engines.
+_CASEFOLD_PIN = "replace(replace(text, 'İ', 'i̇'), 'Σ', 'σ')"
+
 
 def _bpe_oracle() -> str:
     """Unrolled BPE training as chained CTEs: per step, adjacent-pair
@@ -292,7 +301,7 @@ def _bpe_oracle() -> str:
     s0 AS (
         SELECT '||' || array_to_string(
                    string_split(replace(replace(
-                       substr(lower(text), 1, {_BPE_CHARS}), '|', ''), ' ', '_'),
+                       substr(lower({_CASEFOLD_PIN}), 1, {_BPE_CHARS}), '|', ''), ' ', '_'),
                    ''), '||') || '||' AS s
         FROM documents)"""
     stages = []
@@ -343,7 +352,7 @@ def _bpe_segment_oracle() -> str:
     prep = f"""
     d0 AS (
         SELECT doc_id,
-               replace(replace(substr(lower(text), 1, {_BPE_CHARS}), '|', ''),
+               replace(replace(substr(lower({_CASEFOLD_PIN}), 1, {_BPE_CHARS}), '|', ''),
                        ' ', '_') AS clean
         FROM documents),
     s0 AS (
@@ -396,16 +405,12 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only literal replaces) and report per-doc compression:
     chars per BPE token. The production shape: train once, persist the
     merge table, transform any corpus with zero extra shuffles."""
-    from mle_proj_datapipeline_spark.operators.bpe import bpe_apply, bpe_learn
+    from mle_proj_datapipeline_spark.operators.bpe import bpe_apply, bpe_learn, clean_text
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_learn(docs, "text", n_merges=_BPE_MERGES, max_chars=_BPE_CHARS)
     applied = bpe_apply(docs, merges, "text", max_chars=_BPE_CHARS)
-    clean = F.replace(
-        F.replace(F.substring(F.lower(F.col("text")), 1, _BPE_CHARS), F.lit("|"), F.lit("")),
-        F.lit(" "),
-        F.lit("_"),
-    )
+    clean = clean_text(F.col("text"), _BPE_CHARS)
     toks = F.filter(F.split(F.col("bpe_stream"), r"\|\|"), lambda t: t != F.lit(""))
     return (
         applied.select(

@@ -148,13 +148,27 @@ def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregate family (stddev/variance/correlation/
     covariance) — all single-pass mergeable aggregates (partial
-    moment-sums combine map-side; no sort, no second scan)."""
+    moment-sums combine map-side; no sort, no second scan).
+
+    Pearson corr is computed as try_divide(covar_samp, sd·sd) rather
+    than F.corr: under ANSI mode Spark's corr aggregate raises
+    DIVIDE_BY_ZERO when either variable has zero variance (zero-
+    variance fuzz find, round 9), while DuckDB's corr returns NULL.
+    The (n−1) factors cancel, so the value is identical where corr is
+    defined, and the undefined case is NULL in both engines — same
+    mergeable one-pass moments."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_extendedprice", "l_quantity"),
+                F.stddev_samp("l_extendedprice") * F.stddev_samp("l_quantity"),
+            ),
+            4,
+        ).alias("corr_price_qty"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("covar_price_disc"),
     )
 
@@ -216,11 +230,20 @@ def acctbal_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate aggregates (Pearson corr, sample covariance) per group
     — single partial-aggregable shuffle; the moment sums are mergeable,
-    so the same plan holds at any scale."""
+    so the same plan holds at any scale. corr = try_divide(covar_samp,
+    sd·sd): ANSI-safe under zero variance (NULL, matching DuckDB's
+    corr; zero-variance fuzz find, round 9) and identical where
+    defined."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_extendedprice", "l_quantity"),
+                F.stddev_samp("l_extendedprice") * F.stddev_samp("l_quantity"),
+            ),
+            4,
+        ).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_cov"),
     )
 

@@ -110,8 +110,8 @@ def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(y) AS sy, sum(x*x) AS sxx
         FROM b GROUP BY user_id)
     SELECT user_id, n,
-           round((sxy - sx*sy/n) / (sxx - sx*sx/n), 4) AS slope_per_day,
-           round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx/n, 4) AS intercept
+           round((sxy - sx*sy/n) / (sxx - sx*sx/n), 4) + 0 AS slope_per_day,
+           round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx/n, 4) + 0 AS intercept
     FROM a
     WHERE n >= 2 AND (sxx - sx*sx/n) != 0
     """,

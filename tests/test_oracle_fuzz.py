@@ -314,6 +314,77 @@ _ALL_NULL_MEASURES = {
     "customer": ["c_acctbal"],
 }
 
+# Constant values per measure column for the zero-variance class: every
+# row of every measure column carries the same value, so n stays large
+# while sample variance / IQR / MAD / histogram width / score spread all
+# collapse to exactly zero — the degenerate-denominator boundary the
+# singleton class (n=1) misses: stddev=0 z-scores, corr 0/0 over many
+# rows, all-equal quantile breakpoints (every decile boundary the same
+# value), KS over two identical distributions, single-score AUC/Gini
+# grids, winsorization bounds that coincide.
+_CONST_MEASURES = {
+    "orders": {"o_totalprice": 1000.0},
+    "lineitem": {
+        "l_quantity": 10.0,
+        "l_extendedprice": 1000.0,
+        "l_discount": 0.05,
+        "l_tax": 0.04,
+    },
+    "events": {"value": 5.0},
+    "customer": {"c_acctbal": 500.0},
+}
+
+# Unicode/multilingual stress corpus (round 9): the shapes a 100 TB
+# multilingual crawl actually contains and the ASCII-looking synthetic
+# generator never emits — CJK/Thai text with no spaces (whole line = one
+# whitespace token), RTL scripts, combining marks vs precomposed forms,
+# ZWJ emoji sequences and astral-plane code points (UTF-8 4-byte,
+# UTF-16 surrogate pairs), Unicode whitespace variants, fullwidth forms,
+# case-fold traps (Turkish dotted İ, German ß), ligatures, control
+# chars, and the engine's BPE/fingerprint delimiter in fullwidth form.
+# Both engines read the same parquet, so every divergence is a
+# cross-engine expression-semantics hole (Java regex vs RE2, byte- vs
+# codepoint-length, md5-of-UTF-8-bytes, locale-sensitive casing) — the
+# exact class of bug that corrupts dedup/tokenize/fingerprint results
+# silently on non-English shards. n_chars follows the table contract
+# (Python len == code points; consistent with Spark length() and DuckDB
+# length()). Includes exact-duplicate and shared-prefix CJK pairs so
+# the minhash/simhash/ngram dedup family sees non-ASCII collisions, and
+# unicode source keys so group-by/codebook keys leave ASCII.
+_UNICODE_DOCS_RAW = [
+    (9_500_001, "中文文本没有空格标记所以整行是一个词元连续不断", "zh", "fuzz-uni"),
+    (9_500_002, "中文文本没有空格标记所以整行是一个词元连续不断", "zh", "fuzz-uni"),
+    (9_500_003, "日本語のテキストと漢字かな混じり文のサンプルです", "ja", "fuzz-uni"),
+    (9_500_004, "النص العربي يُكتب من اليمين إلى اليسار مع تشكيل", "ar", "fuzz-uni"),
+    (9_500_005, "עברית נכתבת מימין לשמאל עם ניקוד ותווים", "he", "fuzz-uni"),
+    (9_500_006, "combining é acute differs from precomposed é acute", "fr", "fuzz-uni"),
+    (9_500_007, "emoji soup \U0001f680\U0001f525\U0001f389 family \U0001f468‍\U0001f469‍\U0001f467‍\U0001f466 flag \U0001f1fa\U0001f1f3 done", "en", "fuzz-uni"),
+    (9_500_008, "nbsp thin space ideographic　space vtend", "en", "fuzz-uni"),
+    (9_500_009, "turkish İstanbul and dotless ı casefold trap", "tr", "fuzz-uni"),
+    (9_500_010, "zero​width​space plus zwj a‍b joined pair", "en", "fuzz-uni"),
+    (9_500_011, "astral plane \U0001d56c\U0001d593\U0001d586\U0001d591\U0001d59e\U0001d599\U0001d58e\U0001d588\U0001d598 math bold text", "en", "fuzz-uni"),
+    (9_500_012, "mixed 中文 english العربية русский ελληνικά हिन्दी বাংলা", "mul", "fuzz-源"),
+    (9_500_013, "ß sharp s vs SS casefold and ﬁ ligature ﬂ forms", "de", "fuzz-uni"),
+    (9_500_014, "ｆｕｌｌｗｉｄｔｈ　ｌａｔｉｎ　ｔｅｘｔ", "ja", "fuzz-源"),
+    (9_500_015, "controlchar bell and del inside text", "en", "fuzz-uni"),
+    (9_500_016, "ＡＢＣ vs ABC ① ② ③ Ⅳ Ⅸ numerals ½ ¾ ⅚", "en", "fuzz-uni"),
+    (9_500_017, "हिन्दी देवनागरी मात्राएँ और संयुक्ताक्षर क्ष त्र ज्ञ यहाँ", "hi", "fuzz-uni"),
+    (9_500_018, "한국어 텍스트 조합형 한글 음절 블록 샘플", "ko", "fuzz-uni"),
+    (9_500_019, "ไทยไม่มีช่องว่างระหว่างคำเช่นกันทั้งบรรทัด", "th", "fuzz-uni"),
+    (9_500_020, "pipe｜fullwidth and ‖ double vertical delimiter", "en", "fuzz-uni"),
+    # shared long CJK prefix, distinct tails: near-dup candidates whose
+    # shingles are non-ASCII multi-byte tokens
+    (9_500_021, "数据管道去重相似度检测分布式执行引擎 test tail one alpha", "zh", "fuzz-uni"),
+    (9_500_022, "数据管道去重相似度检测分布式执行引擎 test tail two beta", "zh", "fuzz-uni"),
+    # word-final uppercase sigma: Java lower() applies the contextual
+    # Final_Sigma rule (Σ → ς at word end) that per-codepoint engines
+    # don't — exercises the Σ→σ leg of the case-fold pin
+    (9_500_023, "ΒΙΟΣ ΚΑΙ ΛΟΓΟΣ greek sigma ΤΕΛΟΣ ends", "el", "fuzz-uni"),
+]
+_UNICODE_DOCS = [
+    (i, text, lang, src, len(text)) for (i, text, lang, src) in _UNICODE_DOCS_RAW
+]
+
 
 def _dup_rows(t: pa.Table, seed: int) -> pa.Table:
     n = t.num_rows
@@ -342,11 +413,61 @@ def _mutate(
     reorder: bool = False,
     dims_orphan: bool = False,
     measures_negate: bool = False,
+    measures_const: bool = False,
+    unicode_docs: bool = False,
+    dates_invert: bool = False,
 ) -> None:
     import datetime as dt
 
     for name in TABLES:
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if measures_const:
+            # zero-variance contract class: every measure column becomes
+            # one constant value in all rows — n stays large while every
+            # spread statistic (variance, stddev, IQR, MAD, histogram
+            # width, score grid) collapses to exactly zero. The
+            # degenerate-denominator boundary the singleton class (n=1)
+            # misses: z-scores x/0 with n in the thousands, corr 0/0,
+            # ALL-EQUAL quantile breakpoints (ten identical decile
+            # boundaries), KS on two identical samples, one-score
+            # AUC/Gini, coinciding winsorization bounds.
+            for col, val in _CONST_MEASURES.get(name, {}).items():
+                fi = t.schema.get_field_index(col)
+                t = t.set_column(
+                    fi,
+                    t.schema.field(fi),
+                    pa.array([val] * t.num_rows, t.schema.field(fi).type),
+                )
+        if dates_invert:
+            # temporal-inversion contract class: ~25% of fact event
+            # times shifted far out of causal order (shipments dated
+            # long before their orders, events years before the user's
+            # first order, orders dated after their own lineitems) —
+            # real warehouses carry backdated corrections and clock
+            # skew. Stresses signed date arithmetic (negative
+            # durations/datediffs), as-of joins where the "previous"
+            # row is in the future, survival/retention spines with
+            # negative offsets, and window frames over inverted time.
+            import pyarrow.compute as pc
+
+            _shift_cols = {
+                "lineitem": ("l_shipdate", -400),
+                "events": ("ts", -730),
+                "orders": ("o_orderdate", 365),
+            }
+            if name in _shift_cols:
+                col, days = _shift_cols[name]
+                fi = t.schema.get_field_index(col)
+                c = t.column(col).combine_chunks()
+                mask = pa.array(
+                    [(i * 2654435761 + seed) % 4 == 0 for i in range(t.num_rows)]
+                )
+                shifted = pc.add(
+                    c, pa.scalar(days * 86_400_000_000, pa.duration("us"))
+                )
+                t = t.set_column(
+                    fi, t.schema.field(fi), pc.if_else(mask, shifted, c)
+                )
         if measures_negate:
             # negative-measures contract class: ~25% of each measure
             # column's values sign-flipped (keys/dates/categoricals
@@ -420,6 +541,17 @@ def _mutate(
                 t = _dup_rows(t, seed)
         if skew:
             t = _inject_skew(name, t)
+        if unicode_docs and name == "documents":
+            extra = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in _UNICODE_DOCS], pa.int64()),
+                    "text": pa.array([r[1] for r in _UNICODE_DOCS], pa.string()),
+                    "lang": pa.array([r[2] for r in _UNICODE_DOCS], pa.string()),
+                    "source": pa.array([r[3] for r in _UNICODE_DOCS], pa.string()),
+                    "n_chars": pa.array([r[4] for r in _UNICODE_DOCS], pa.int64()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
         if not inject:
             pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
             continue
@@ -1033,6 +1165,147 @@ def test_every_registered_query_matches_oracle_on_reversed_rows(
     assert not bad, f"scan-order dependence on reversed rows: {bad}"
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry unicode-docs sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_unicode_docs(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the unicode-corpus battery: EVERY registered
+    query with the multilingual stress corpus appended to documents
+    (facts otherwise intact) must match its oracle — CJK/Thai no-space
+    lines, RTL scripts, combining marks, ZWJ emoji and astral-plane
+    code points, Unicode whitespace, fullwidth forms (including the
+    BPE delimiter in fullwidth), case-fold traps, control chars, and
+    non-ASCII group keys. Divergences here are cross-engine
+    expression-semantics holes (Java regex vs RE2 character classes,
+    byte- vs codepoint-length, locale-sensitive casing) — the bug
+    class that silently corrupts dedup/tokenize/fingerprint output on
+    the non-English shards of a real multilingual corpus."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_uni_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_uni_all_sf"))
+    _mutate(0, out_dir, rate=100, inject=False, unicode_docs=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on unicode corpus: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry constant-measures sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_constant_measures(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the zero-variance battery: EVERY registered
+    query on fact tables whose measure columns are one constant value
+    in all rows must match its oracle — the degenerate-denominator
+    boundary the singleton class (n=1) misses: stddev=0 z-scores with
+    n in the thousands, corr 0/0, ten identical decile breakpoints,
+    KS over two identical samples, a one-value AUC/Gini score grid,
+    winsorization bounds that coincide, zero-width histograms."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_const_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_const_all_sf"))
+    _mutate(0, out_dir, rate=100, inject=False, measures_const=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on constant measures: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry temporal-inversion sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_inverted_dates(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the temporal-inversion battery: EVERY
+    registered query on fact tables where ~25% of event times are
+    shifted far out of causal order (shipments dated 400 days before
+    their orders, events 2 years before the user's first order,
+    orders dated a year after their own lineitems) must match its
+    oracle — backdated corrections and clock skew are normal warehouse
+    data, and they stress signed date arithmetic, as-of joins whose
+    "previous" row is in the future, survival/retention spines with
+    negative offsets, and window frames over inverted time."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_tinv_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_tinv_all_sf"))
+    _mutate(9, out_dir, rate=100, inject=False, dates_invert=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on inverted dates: {bad}"
+
+
 # ---------------------------------------------------------------------------
 # Rotating default-on cross-section of the three exhaustive sweeps
 # (VERDICT r7 item 6): the SPARK_GRAFT_FUZZ_ALL sweeps above cover the
@@ -1088,6 +1361,9 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
         ("reversed-rows", 101),
         ("orphan-dims", 17),
         ("negated-measures", 123),
+        ("unicode-docs", 44),
+        ("constant-measures", 66),
+        ("inverted-dates", 148),
     ],
 )
 def test_rotating_registry_slice_matches_oracle(
@@ -1097,9 +1373,10 @@ def test_rotating_registry_slice_matches_oracle(
     contract class (NULL-heavy mutation / hot-key skew / empty fact
     tables / duplicate-row inflation / singleton fact tables / all-NULL
     measures / reversed row order / orphan-FK dims / sign-flipped
-    measures) against their own oracles, slice advancing with the round
-    number — every CI run exercises all nine classes against fresh
-    registry slices with zero env vars. The
+    measures / unicode corpus / zero-variance constant measures /
+    temporal inversion) against their own oracles, slice advancing with
+    the round number — every CI run exercises all twelve classes
+    against fresh registry slices with zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the structurally-detected vid-keyed-oracle
     rows (see _dup_excluded above)."""
@@ -1125,6 +1402,12 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(3, out_dir, rate=100, inject=False, dims_orphan=True)
     elif klass == "negated-measures":
         _mutate(7, out_dir, rate=100, inject=False, measures_negate=True)
+    elif klass == "unicode-docs":
+        _mutate(0, out_dir, rate=100, inject=False, unicode_docs=True)
+    elif klass == "constant-measures":
+        _mutate(0, out_dir, rate=100, inject=False, measures_const=True)
+    elif klass == "inverted-dates":
+        _mutate(9, out_dir, rate=100, inject=False, dates_invert=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 
