@@ -19,7 +19,7 @@ a single key exceeds an executor's partition budget.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 
 def asof_join(
@@ -226,6 +226,7 @@ def range_join_bucketed(
     right_hi: str,
     bucket_width: float,
     on: list[str] | None = None,
+    max_span_buckets: int = 4096,
 ) -> DataFrame:
     """Point-in-interval join via bucketing: both sides emit integer
     buckets of width ``bucket_width``; intervals explode to the buckets
@@ -236,22 +237,68 @@ def range_join_bucketed(
     the standard trick when Spark lacks a native band join. Choose
     ``bucket_width`` near the typical interval length so each interval
     spans O(1) buckets.
+
+    Bounded fan-out (round-9 NaN/Inf fuzz find): ``sequence(lo_bucket,
+    hi_bucket)`` is sized by DATA — one interval with a non-finite
+    endpoint (or a span wider than ``max_span_buckets`` buckets) used to
+    materialize an unbounded bucket array and kill the whole job
+    (COLLECTION_SIZE_LIMIT_EXCEEDED). Such intervals now route to a
+    FALLBACK ARM: a plain equi-join on the keys with the same exact
+    range predicate — identical semantics (non-finite endpoints compare
+    the same way in the predicate either arm), cost bounded by
+    |degenerate intervals| × |same-key points| instead of unbounded
+    array memory. Non-finite left points can only ever match
+    non-finite-endpoint intervals (NaN/±Inf fail every finite-bound
+    comparison in both Spark and DuckDB), so the bucketed arm keeps
+    finite points only and the fallback arm scans the full left side.
+    NULL endpoints/points match nothing in either arm — the exact
+    predicate is never true on NULL — preserving the original drop
+    semantics. Clean data takes the bucketed arm exclusively; the
+    fallback arm is empty and prunes to a zero-row hash join.
     """
     on = on or []
-    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)))
-    rb = right.withColumn(
+    inf = float("inf")
+
+    def _finite(c: Column) -> Column:
+        d = c.cast("double")
+        return ~F.isnan(d) & (d != F.lit(inf)) & (d != F.lit(-inf))
+
+    lo, hi = F.col(right_lo), F.col(right_hi)
+    span_ok = (
+        _finite(lo)
+        & _finite(hi)
+        & (
+            F.floor(hi / F.lit(bucket_width)) - F.floor(lo / F.lit(bucket_width))
+            < F.lit(max_span_buckets)
+        )
+    )
+    exact = (F.col(left_point) >= lo) & (F.col(left_point) <= hi)
+
+    lb = left.filter(_finite(F.col(left_point))).withColumn(
+        "__bucket", F.floor(F.col(left_point) / F.lit(bucket_width))
+    )
+    rb = right.filter(span_ok).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(right_lo) / F.lit(bucket_width)),
-                F.floor(F.col(right_hi) / F.lit(bucket_width)),
+                F.floor(lo / F.lit(bucket_width)),
+                F.floor(hi / F.lit(bucket_width)),
             )
         ),
     )
-    joined = lb.join(rb, on + ["__bucket"])
-    return joined.filter(
-        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
-    ).drop("__bucket")
+    bucketed = lb.join(rb, on + ["__bucket"]).drop("__bucket")
+    # ~span_ok is NULL for NULL endpoints -> those rows join nothing in
+    # either arm, matching the exact predicate's NULL semantics.
+    # Degenerate intervals are rare data-quality rows by contract, so
+    # the fallback side broadcasts (keyless form must anyway: the
+    # engine policy bans non-broadcast cross joins).
+    degenerate = right.filter(~span_ok)
+    fallback = (
+        left.join(F.broadcast(degenerate), on)
+        if on
+        else left.crossJoin(F.broadcast(degenerate))
+    )
+    return bucketed.unionByName(fallback).filter(exact)
 
 
 def salted_join(

@@ -86,7 +86,17 @@ def impute_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (all-NULL-measure fuzz find, round 8 — the [] lookup was a
     # KeyError crash).
     mean = compute_means(d, ["bal_n"]).get("bal_n")
-    fill = None if mean is None else math.floor(mean * 100 + 0.5) / 100
+    # Non-finite mean (a NaN/Inf-poisoned column): math.floor would
+    # raise, and the oracle's floor(x*100+0.5)/100 is x itself for
+    # non-finite x — fill with the mean as-is so the poisoned-input
+    # behavior matches the oracle instead of crashing (NaN/Inf fuzz
+    # exploration, round 9).
+    if mean is None:
+        fill = None
+    elif math.isfinite(mean):
+        fill = math.floor(mean * 100 + 0.5) / 100
+    else:
+        fill = mean
     constants = {} if fill is None else {"bal_n": fill}
     filled = impute(d, ImputeSpec(constants=constants, flag_cols=["bal_n"]))
     return filled.groupBy(F.col("c_mktsegment").alias("segment")).agg(

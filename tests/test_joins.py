@@ -111,6 +111,49 @@ def test_range_join_boundaries(spark):
     assert got == [1, 2, 3]
 
 
+def test_range_join_degenerate_intervals(spark):
+    """Intervals with non-finite endpoints or spans past
+    max_span_buckets route to the exact-predicate fallback arm instead
+    of materializing an unbounded bucket array (one [-inf, inf] band
+    used to be a COLLECTION_SIZE_LIMIT_EXCEEDED job killer). Semantics
+    must be identical to the plain predicate join: inclusive bounds,
+    NaN/±Inf compare per engine ordering (NaN greatest), NULL matches
+    nothing."""
+    inf = float("inf")
+    nan = float("nan")
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 1e12), (4, -inf), (5, nan), (6, None)],
+        "pid long, x double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, 0.0, 10.0),       # normal band: pids 1, 2
+            (200, -inf, inf),        # infinite band: finite pids 1,2,3 and -inf pid 4
+            (300, 0.0, 1e12),        # huge finite span: fallback arm, pids 1,2,3
+            (400, None, 10.0),       # NULL endpoint: matches nothing
+            (500, 0.0, nan),         # NaN hi: hi is greatest -> finite+NaN pids
+        ],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(
+            pts, ivs, left_point="x", right_lo="lo", right_hi="hi",
+            bucket_width=3.0, max_span_buckets=64,
+        ).collect()
+    )
+    # reference: plain exact-predicate join (Spark ordering: NaN greatest,
+    # -inf smallest; NULL never compares true)
+    ref = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(ivs.withColumnRenamed("lo", "blo").withColumnRenamed("hi", "bhi"))
+        .filter("x >= blo AND x <= bhi")
+        .collect()
+    )
+    assert got == ref
+    assert (1, 100) in got and (3, 300) in got and (4, 200) in got
+
+
 def test_merge_upsert_keep_latest(spark):
     target = spark.createDataFrame([(1, "old1"), (2, "old2")], ["id", "v"])
     updates = spark.createDataFrame(
