@@ -174,9 +174,15 @@ def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 16 * (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
                          + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
                END AS first_byte,
-               coalesce(list_sum(list_transform(range(1, n_bytes + 1),
-                        i -> 16 * (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1)
-                             + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))), 0)
+               -- two-hex-digit chunks via regexp_extract_all, NOT
+               -- substr(h, 2*i, 1) over range(n): substr on a UTF-8
+               -- varchar is O(position), so the indexed form was
+               -- O(bytes^2) — 300 s on one 300 KB document (long-docs
+               -- fuzz find, round 9); this form is linear and
+               -- byte-identical
+               coalesce(list_sum(list_transform(regexp_extract_all(h, '..'),
+                        s -> 16 * (strpos('0123456789ABCDEF', substr(s, 1, 1)) - 1)
+                             + (strpos('0123456789ABCDEF', substr(s, 2, 1)) - 1))), 0)
                    % 997 AS checksum_mod
         FROM raw)
     SELECT source, count(*) AS n_docs,

@@ -37,7 +37,7 @@ _COV_CTE = f"""
         FROM x
         CROSS JOIN range(0, {_EMB_D}) t1(i) CROSS JOIN range(0, {_EMB_D}) t2(j)
         GROUP BY 1, 2),
-    cov AS (SELECT i, j, exy - ex * ey AS c FROM cells)"""
+    cov AS MATERIALIZED (SELECT i, j, exy - ex * ey AS c FROM cells)"""
 
 
 @register(
@@ -72,11 +72,17 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _power_iteration_oracle() -> str:
     """Unrolled power iteration v ← C·v / ‖C·v‖ as chained CTEs, from
-    the exact uniform start vector 1/8 (= 1/√64, exact in binary)."""
+    the exact uniform start vector 1/8 (= 1/√64, exact in binary).
+
+    cov and every u{k} are MATERIALIZED: each v{k} references u{k}
+    twice (value + norm), so with DuckDB's default CTE inlining the
+    whole chain re-evaluates doubly per iteration — the n·d² cells
+    scan ran 2^8 ≈ 256 times (~257 s at sf0.001, found round 9).
+    Materialization pins each 64-row step once; identical results."""
     stages = []
     for k in range(1, _POWER_ITERS + 1):
         stages.append(f"""
-    u{k} AS (
+    u{k} AS MATERIALIZED (
         SELECT cov.i AS j, sum(cov.c * v{k - 1}.v) AS u
         FROM cov JOIN v{k - 1} ON cov.j = v{k - 1}.j
         GROUP BY cov.i),

@@ -17,11 +17,18 @@ P = dd.P31
 
 # ---- shared DuckDB SQL fragments (generated from module constants) -------
 
-# distinct word-3-gram shingles of `text` (matches operators/hashing.word_shingles)
+# distinct word-3-gram shingles of `text` (matches operators/hashing.word_shingles).
+# The single-element outer list_transform is a LET BINDING: it evaluates
+# string_split(text,' ') ONCE per row and closes over it as __toks —
+# with the split inlined in the per-shingle lambda, DuckDB re-split the
+# whole text for every shingle index, turning a 40k-token document into
+# O(tokens x bytes) work (~17 min for five 300 KB docs; long-docs fuzz
+# find, round 9). Same result, linear cost.
 _SH = (
+    "list_transform([string_split(text,' ')], __toks -> "
     "list_distinct(list_transform("
-    "range(1, greatest(len(string_split(text,' '))-2, 1)+1), "
-    "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))"
+    "range(1, greatest(len(__toks)-2, 1)+1), "
+    "i -> array_to_string(list_slice(__toks, i, i+2), ' '))))[1]"
 )
 # H31 of an expression e
 def _h31(e: str) -> str:

@@ -29,9 +29,9 @@ from mle_proj_datapipeline_spark.sources.catalog import load_table
 @register(
     "minhash_lsh_neardups",
     oracle=f"""
-    WITH d AS (SELECT doc_id, {_SH} AS sh FROM documents),
-    h AS (SELECT doc_id, sh, list_transform(sh, s -> {_h31('s')}) AS hs FROM d),
-    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
+    WITH d AS MATERIALIZED (SELECT doc_id, {_SH} AS sh FROM documents),
+    h AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s -> {_h31('s')}) AS hs FROM d),
+    sig AS MATERIALIZED (SELECT doc_id, {_SIG} AS sig FROM h),
     bands AS (
         SELECT doc_id, t.b AS band_idx,
                array_to_string(list_slice(sig, t.b*{_hs.LSH_ROWS}+1, t.b*{_hs.LSH_ROWS}+{_hs.LSH_ROWS}), '_') AS band_key
@@ -59,9 +59,9 @@ def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_clusters",
     oracle=f"""
-    WITH RECURSIVE d AS (SELECT doc_id, {_SH} AS sh FROM documents),
-    h AS (SELECT doc_id, sh, list_transform(sh, s -> {_h31("s")}) AS hs FROM d),
-    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
+    WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, {_SH} AS sh FROM documents),
+    h AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s -> {_h31("s")}) AS hs FROM d),
+    sig AS MATERIALIZED (SELECT doc_id, {_SIG} AS sig FROM h),
     bands AS (
         SELECT doc_id, t.b AS band_idx,
                array_to_string(list_slice(sig, t.b*{_hs.LSH_ROWS}+1, t.b*{_hs.LSH_ROWS}+{_hs.LSH_ROWS}), '_') AS band_key
@@ -105,7 +105,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_neardups",
     oracle=f"""
-    WITH d AS (
+    WITH d AS MATERIALIZED (
         SELECT doc_id, {_SH} AS sh,
                array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
                  || '|' ||
@@ -136,12 +136,12 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_neardups",
     oracle=f"""
-    WITH t AS (
+    WITH t AS MATERIALIZED (
         SELECT doc_id,
                list_transform(string_split(text, ' '),
                               tok -> ('0x'||substr(md5(tok),1,15))::BIGINT) AS hs
         FROM documents),
-    fp AS (SELECT doc_id, {_SIMHASH_FP} AS fp FROM t),
+    fp AS MATERIALIZED (SELECT doc_id, {_SIMHASH_FP} AS fp FROM t),
     blocks AS (
         SELECT doc_id, fp, k.b AS blk_idx,
                (fp >> ({_hs.SIMHASH_BLOCK_BITS}*k.b)) & {(1 << _hs.SIMHASH_BLOCK_BITS) - 1} AS blk_key
@@ -194,9 +194,9 @@ def exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonical_corpus",
     oracle=f"""
-    WITH RECURSIVE d AS (SELECT doc_id, {_SH} AS sh FROM documents),
-    h AS (SELECT doc_id, sh, list_transform(sh, s -> {_h31("s")}) AS hs FROM d),
-    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
+    WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, {_SH} AS sh FROM documents),
+    h AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s -> {_h31("s")}) AS hs FROM d),
+    sig AS MATERIALIZED (SELECT doc_id, {_SIG} AS sig FROM h),
     bands AS (
         SELECT doc_id, t.b AS band_idx,
                array_to_string(list_slice(sig, t.b*{_hs.LSH_ROWS}+1, t.b*{_hs.LSH_ROWS}+{_hs.LSH_ROWS}), '_') AS band_key

@@ -238,9 +238,15 @@ def doc_ppl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_distinct,
                CAST(max(n) AS BIGINT) AS top_n
         FROM c GROUP BY doc_id)
+    -- floor-shift rounding, not round(): an integer ratio like
+    -- 2598/40000 sits exactly on the printed half-grid (0.06495) where
+    -- Spark's round (BigDecimal HALF_UP on the shortest decimal string)
+    -- and DuckDB's (binary value) disagree; floor(x*1e4 + 0.5)/1e4 is
+    -- the same pure-double op in both engines (long-docs fuzz find,
+    -- round 9 — same idiom as the impute-mean cents grid)
     SELECT doc_id,
-           round(n_distinct / CAST(total AS DOUBLE), 4) AS ttr,
-           round(top_n / CAST(total AS DOUBLE), 4) AS top_ratio,
+           floor(n_distinct / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 AS ttr,
+           floor(top_n / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 AS top_ratio,
            CAST(CASE WHEN n_distinct / CAST(total AS DOUBLE) >= 0.3
                       AND top_n / CAST(total AS DOUBLE) <= 0.2
                 THEN 1 ELSE 0 END AS INT) AS keep
@@ -267,10 +273,12 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ttr = F.col("n_distinct") / F.col("total").cast("double")
     top = F.col("top_n") / F.col("total").cast("double")
+    # floor-shift rounding (see the oracle comment): cross-engine-exact
+    # where round() flakes on a printed half-grid ratio like 2598/40000
     return s.select(
         "doc_id",
-        F.round(ttr, 4).alias("ttr"),
-        F.round(top, 4).alias("top_ratio"),
+        (F.floor(ttr * 10000 + F.lit(0.5)) / 10000).alias("ttr"),
+        (F.floor(top * 10000 + F.lit(0.5)) / 10000).alias("top_ratio"),
         F.when((ttr >= 0.3) & (top <= 0.2), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
     )
 

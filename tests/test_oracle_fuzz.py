@@ -386,6 +386,45 @@ _UNICODE_DOCS = [
 ]
 
 
+def _long_docs() -> list[tuple[int, str, str, str, int]]:
+    """Long-document stress corpus (round 9): 4k-6.4k-token documents
+    (~30-45 KB) from a 16-word vocabulary, one exact duplicate of the
+    first (a long-body dedup pair — exact Jaccard on k-token shingle
+    sets is O(k²)-ish in both engines, which is why the pair is the
+    SMALLEST doc), and one crafted 40,000-token doc whose top token
+    count is exactly 2598 — the ratio 2598/40000 = 0.06495 sits on the
+    printed half-grid where Spark's round() (BigDecimal HALF_UP on the
+    shortest decimal string) and DuckDB's (binary value) disagreed;
+    this row is the deterministic regression witness for the
+    floor-shift convention in doc_repetition_quality. The crafted doc
+    is a repeating pattern, so its distinct-shingle set stays tiny and
+    the dedup family stays cheap. This class also exposed (and now
+    regresses) three ORACLE-side superlinear encodings: the shingle
+    lambda re-splitting the whole text per index (_SH let-binding), the
+    re-inlined minhash h/sig CTEs (now MATERIALIZED), and the
+    byte-indexed substr checksum walk (regexp_extract_all chunks).
+    Deterministic seed."""
+    import random
+
+    rng = random.Random(17)
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+        "spark", "scan", "join", "merge", "window", "batch", "stream", "dup",
+    ]
+    rows = []
+    for k in range(4):
+        n = 4000 + k * 800
+        txt = " ".join(rng.choice(words) for _ in range(n))
+        rows.append((9_700_001 + k, txt, "en", "fuzz-long", len(txt)))
+    # half-grid witness: top token 'dup' appears exactly 2598 times out
+    # of 40000; every other word ~2493 < 2598 so 'dup' is the argmax
+    toks = ["dup"] * 2598 + [words[i % 15] for i in range(37402)]
+    txt = " ".join(toks)
+    rows.append((9_700_005, txt, "en", "fuzz-long", len(txt)))
+    rows.append((9_700_010, rows[0][1], "en", "fuzz-long", rows[0][4]))
+    return rows
+
+
 def _dup_rows(t: pa.Table, seed: int) -> pa.Table:
     n = t.num_rows
     if n == 0:
@@ -416,6 +455,7 @@ def _mutate(
     measures_const: bool = False,
     unicode_docs: bool = False,
     dates_invert: bool = False,
+    long_docs: bool = False,
 ) -> None:
     import datetime as dt
 
@@ -549,6 +589,18 @@ def _mutate(
                     "lang": pa.array([r[2] for r in _UNICODE_DOCS], pa.string()),
                     "source": pa.array([r[3] for r in _UNICODE_DOCS], pa.string()),
                     "n_chars": pa.array([r[4] for r in _UNICODE_DOCS], pa.int64()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
+        if long_docs and name == "documents":
+            rows = _long_docs()
+            extra = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array([r[2] for r in rows], pa.string()),
+                    "source": pa.array([r[3] for r in rows], pa.string()),
+                    "n_chars": pa.array([r[4] for r in rows], pa.int64()),
                 }
             )
             t = pa.concat_tables([t.select(extra.column_names), extra])
@@ -1261,6 +1313,52 @@ def test_every_registered_query_matches_oracle_on_constant_measures(
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry long-docs sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_long_docs(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the long-documents battery: EVERY registered
+    query with 30k-45k-token (~200-300 KB) documents appended must
+    match its oracle — shingle explosion, chunk fan-out, per-doc token
+    aggregation at volume, exact dedup of big bodies, and integer-ratio
+    rounding grids (found the 2598/40000 printed-half-grid ratio where
+    Spark's BigDecimal-HALF_UP round() and DuckDB's binary round()
+    disagree; doc_repetition_quality now uses the cross-engine-exact
+    floor-shift)."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_long_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_long_all_sf"))
+    _mutate(0, out_dir, rate=100, inject=False, long_docs=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on long documents: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
     reason="full-registry temporal-inversion sweep: set SPARK_GRAFT_FUZZ_ALL=1",
 )
 def test_every_registered_query_matches_oracle_on_inverted_dates(
@@ -1364,6 +1462,7 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
         ("unicode-docs", 44),
         ("constant-measures", 66),
         ("inverted-dates", 148),
+        ("long-docs", 91),
     ],
 )
 def test_rotating_registry_slice_matches_oracle(
@@ -1374,9 +1473,9 @@ def test_rotating_registry_slice_matches_oracle(
     tables / duplicate-row inflation / singleton fact tables / all-NULL
     measures / reversed row order / orphan-FK dims / sign-flipped
     measures / unicode corpus / zero-variance constant measures /
-    temporal inversion) against their own oracles, slice advancing with
-    the round number — every CI run exercises all twelve classes
-    against fresh registry slices with zero env vars. The
+    temporal inversion / long documents) against their own oracles,
+    slice advancing with the round number — every CI run exercises all
+    thirteen classes against fresh registry slices with zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the structurally-detected vid-keyed-oracle
     rows (see _dup_excluded above)."""
@@ -1408,6 +1507,8 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(0, out_dir, rate=100, inject=False, measures_const=True)
     elif klass == "inverted-dates":
         _mutate(9, out_dir, rate=100, inject=False, dates_invert=True)
+    elif klass == "long-docs":
+        _mutate(0, out_dir, rate=100, inject=False, long_docs=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 
