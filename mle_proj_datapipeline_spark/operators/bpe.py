@@ -61,16 +61,27 @@ def clean_text(text: Column | str, max_chars: int = 64) -> Column:
     - ``Σ`` (U+03A3) → ``σ`` unconditionally, declaring away Java's
       context-sensitive Final_Sigma rule (word-final Σ → ς) that
       per-codepoint engines don't apply.
+    - ``I`` (ASCII) → ``i`` (ADVICE r9): on a tr/az-default-locale JVM,
+      Java's ``String.toLowerCase()`` maps ASCII ``I`` to dotless ``ı``
+      — the substitution makes the fold locale-proof for the Turkic
+      mappings. It is a no-op relative to ``lower()`` on every other
+      locale, and the oracle's per-codepoint ``lower`` already yields
+      ``i``, so no oracle change is needed.
 
-    With both pinned, ``lower()`` degenerates to a pure per-codepoint
-    map in BOTH engines, making the token stream bit-identical in Spark
-    and DuckDB and independent of the JVM default locale. The oracles
-    mirror the same two replaces (plans/llm_text_queries)."""
+    With these pinned, the token stream is bit-identical in Spark and
+    DuckDB independent of the JVM default locale for the tr/az case
+    mappings; locales with further special mappings (lt's extra
+    combining dots) are outside the corpus contract. The oracles mirror
+    the İ/Σ replaces (plans/llm_text_queries)."""
     c = F.col(text) if isinstance(text, str) else text
     folded = F.replace(
-        F.replace(c, F.lit("İ"), F.lit("i̇")),
-        F.lit("Σ"),
-        F.lit("σ"),
+        F.replace(
+            F.replace(c, F.lit("İ"), F.lit("i̇")),
+            F.lit("Σ"),
+            F.lit("σ"),
+        ),
+        F.lit("I"),
+        F.lit("i"),
     )
     return F.replace(
         F.replace(F.substring(F.lower(folded), 1, max_chars), F.lit("|"), F.lit("")),

@@ -264,12 +264,22 @@ def range_join_bucketed(
         return ~F.isnan(d) & (d != F.lit(inf)) & (d != F.lit(-inf))
 
     lo, hi = F.col(right_lo), F.col(right_hi)
+    # Span test in DOUBLE space, never floor/BIGINT: floor(double) on a
+    # huge-but-finite endpoint (~1e300) saturates to Long.MIN/MAX, and
+    # the BIGINT subtraction then overflows — ARITHMETIC_OVERFLOW under
+    # ANSI (a whole-job kill from one poisoned row), silent wraparound
+    # (guard bypassed, unbounded sequence() back) without. Double
+    # arithmetic cannot overflow: an oversized span goes to +Inf (or
+    # Inf−Inf = NaN), both of which fail `< max_span_buckets` and route
+    # to the fallback arm. floors below then only ever evaluate on rows
+    # already proven narrow. The `- 1` absorbs the worst-case bucket
+    # misalignment (floor-difference ≤ double-span + 1).
     span_ok = (
         _finite(lo)
         & _finite(hi)
         & (
-            F.floor(hi / F.lit(bucket_width)) - F.floor(lo / F.lit(bucket_width))
-            < F.lit(max_span_buckets)
+            hi / F.lit(bucket_width) - lo / F.lit(bucket_width)
+            < F.lit(float(max_span_buckets - 1))
         )
     )
     exact = (F.col(left_point) >= lo) & (F.col(left_point) <= hi)

@@ -140,7 +140,9 @@ def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(stddev_samp(l_extendedprice), 2) AS sd_price,
            round(var_samp(l_discount), 6) AS var_disc,
-           round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity)
+                 / nullif(stddev_samp(l_extendedprice)
+                          * stddev_samp(l_quantity), 0), 4) AS corr_price_qty,
            round(covar_samp(l_extendedprice, l_discount), 2) AS covar_price_disc
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -154,9 +156,12 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     than F.corr: under ANSI mode Spark's corr aggregate raises
     DIVIDE_BY_ZERO when either variable has zero variance (zero-
     variance fuzz find, round 9), while DuckDB's corr returns NULL.
-    The (n−1) factors cancel, so the value is identical where corr is
-    defined, and the undefined case is NULL in both engines — same
-    mergeable one-pass moments."""
+    The ORACLE mirrors the same covar/(sd·sd) formulation with
+    nullif(·,0) standing in for try_divide (ADVICE r9: native corr's
+    separate (n−1) divisions and sqrt(x·y) vs sqrt(x)·sqrt(y) are not
+    ulp-identical to this expression, so a value on the 4-decimal
+    rounding half-grid could diverge) — both engines now compute the
+    identical expression, same mergeable one-pass moments."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -222,7 +227,9 @@ def acctbal_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity)
+                 / nullif(stddev_samp(l_extendedprice)
+                          * stddev_samp(l_quantity), 0), 4) AS price_qty_corr,
            round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -231,9 +238,11 @@ def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate aggregates (Pearson corr, sample covariance) per group
     — single partial-aggregable shuffle; the moment sums are mergeable,
     so the same plan holds at any scale. corr = try_divide(covar_samp,
-    sd·sd): ANSI-safe under zero variance (NULL, matching DuckDB's
-    corr; zero-variance fuzz find, round 9) and identical where
-    defined."""
+    sd·sd): ANSI-safe under zero variance (NULL; zero-variance fuzz
+    find, round 9). The oracle mirrors the identical covar/(sd·sd)
+    expression via nullif(·,0) rather than native corr (ADVICE r9:
+    the formulations are not ulp-identical, so a half-grid rounding
+    value could diverge)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

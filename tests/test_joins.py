@@ -154,6 +154,49 @@ def test_range_join_degenerate_intervals(spark):
     assert (1, 100) in got and (3, 300) in got and (4, 200) in got
 
 
+def test_range_join_huge_finite_endpoints(spark):
+    """Huge-but-FINITE endpoints (~1e300, DBL_MAX — the same
+    poisoned-featurizer class the non-finite guard targets): floor(double)
+    saturates to Long.MIN/MAX, so the old BIGINT span subtraction
+    overflowed — ARITHMETIC_OVERFLOW under ANSI killed the whole job;
+    without ANSI it wrapped negative and re-opened the unbounded
+    sequence() explosion. The span test now runs in double space
+    (oversized spans go to +Inf / Inf−Inf=NaN and fail the bound), so
+    these rows route to the fallback arm and the job completes with
+    exact-predicate semantics (ADVICE r9)."""
+    dbl_max = 1.7976931348623157e308
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 1e300), (3, -1e300)],
+        "pid long, x double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, 0.0, 10.0),            # normal band: pid 1
+            (200, 1e299, 1e300),         # huge finite band: pid 2
+            (300, -dbl_max, dbl_max),    # full finite range: all pids
+            (400, 9e299, 1.1e300),       # narrow-in-double at huge magnitude: pid 2
+        ],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(
+            pts, ivs, left_point="x", right_lo="lo", right_hi="hi",
+            bucket_width=3.0, max_span_buckets=64,
+        ).collect()
+    )
+    ref = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(
+            ivs.withColumnRenamed("lo", "blo").withColumnRenamed("hi", "bhi")
+        )
+        .filter("x >= blo AND x <= bhi")
+        .collect()
+    )
+    assert got == ref
+    assert (2, 200) in got and (1, 300) in got and (2, 300) in got and (3, 300) in got
+
+
 def test_merge_upsert_keep_latest(spark):
     target = spark.createDataFrame([(1, "old1"), (2, "old2")], ["id", "v"])
     updates = spark.createDataFrame(
