@@ -385,6 +385,36 @@ _UNICODE_DOCS = [
     (i, text, lang, src, len(text)) for (i, text, lang, src) in _UNICODE_DOCS_RAW
 ]
 
+# Control/delimiter-characters corpus (round 10): the ASCII-adversarial
+# shapes the unicode class doesn't cover — raw scraped text carrying the
+# engine's own BPE delimiter (`|`, `||`, `|||` runs, exercising the
+# strip-'|' convention in operators/bpe.clean_text cross-engine),
+# newline/CRLF/tab/multi-space whitespace (tokenizer split semantics),
+# regex metacharacters flowing through the PII-scrub and fingerprint
+# regexp paths (Java regex vs DuckDB RE2), a 500-char single token (one
+# giant whitespace token), the EMPTY string and a whitespace-only doc
+# (distinct from NULL — zero-token boundary), an embedded NUL byte
+# (legal in parquet UTF-8; C-string truncation anywhere in either
+# engine's path would diverge lengths/hashes silently), zero-width
+# space + combining-vs-precomposed pairs, and ZWJ emoji. Certified
+# 165/165 green on first sweep (round 10, frozen tree) — landed as the
+# fourteenth rotating class purely as regression insurance.
+_CTRL_DOCS_RAW = [
+    (9_800_001, "pipe|delim||double|||triple|end", "en", "fuzz-ctrl"),
+    (9_800_002, "line1\nline2\r\nline3\ttabbed  twospace end", "en", "fuzz-ctrl"),
+    (9_800_003, "contact test@example.com or 555-123-4567 now\n", "en", "fuzz-ctrl"),
+    (9_800_004, "a" * 500, "en", "fuzz-ctrl"),
+    (9_800_005, "", "en", "fuzz-ctrl"),
+    (9_800_006, " \t\n ", "en", "fuzz-ctrl"),
+    (9_800_007, "specials a.b a*b a+b (p) [b] {c} \\back $d ^c ?q", "en", "fuzz-ctrl"),
+    (9_800_008, "zero\u200bwidth combine e\u0301 precomposed \u00e9 end", "en", "fuzz-ctrl"),
+    (9_800_009, "emoji \U0001F44D family \U0001F468‍\U0001F469‍\U0001F467 flag \U0001F1FA\U0001F1F8 end", "en", "fuzz-ctrl"),
+    (9_800_010, "nul\x00inside after", "en", "fuzz-ctrl"),
+]
+_CTRL_DOCS = [
+    (i, text, lang, src, len(text)) for (i, text, lang, src) in _CTRL_DOCS_RAW
+]
+
 
 def _long_docs() -> list[tuple[int, str, str, str, int]]:
     """Long-document stress corpus (round 9): 4k-6.4k-token documents
@@ -456,6 +486,7 @@ def _mutate(
     unicode_docs: bool = False,
     dates_invert: bool = False,
     long_docs: bool = False,
+    ctrl_docs: bool = False,
 ) -> None:
     import datetime as dt
 
@@ -589,6 +620,17 @@ def _mutate(
                     "lang": pa.array([r[2] for r in _UNICODE_DOCS], pa.string()),
                     "source": pa.array([r[3] for r in _UNICODE_DOCS], pa.string()),
                     "n_chars": pa.array([r[4] for r in _UNICODE_DOCS], pa.int64()),
+                }
+            )
+            t = pa.concat_tables([t.select(extra.column_names), extra])
+        if ctrl_docs and name == "documents":
+            extra = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in _CTRL_DOCS], pa.int64()),
+                    "text": pa.array([r[1] for r in _CTRL_DOCS], pa.string()),
+                    "lang": pa.array([r[2] for r in _CTRL_DOCS], pa.string()),
+                    "source": pa.array([r[3] for r in _CTRL_DOCS], pa.string()),
+                    "n_chars": pa.array([r[4] for r in _CTRL_DOCS], pa.int64()),
                 }
             )
             t = pa.concat_tables([t.select(extra.column_names), extra])
@@ -1268,6 +1310,53 @@ def test_every_registered_query_matches_oracle_on_unicode_docs(
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
+    reason="full-registry control-chars sweep: set SPARK_GRAFT_FUZZ_ALL=1",
+)
+def test_every_registered_query_matches_oracle_on_ctrl_docs(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Exhaustive form of the control/delimiter-characters battery:
+    EVERY registered query with the ASCII-adversarial corpus appended
+    to documents (facts otherwise intact) must match its oracle — the
+    engine's own BPE delimiter embedded in raw text, CRLF/tab/multi-
+    space whitespace, regex metacharacters through the PII-scrub and
+    fingerprint regexp paths, a 500-char single token, empty and
+    whitespace-only docs, an embedded NUL byte, zero-width space and
+    combining-vs-precomposed pairs, ZWJ emoji. First sweep (round 10,
+    frozen tree): 165/165 green, zero exclusions."""
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_WAREHOUSE", str(tmp_path_factory.mktemp("fuzz_ctrl_wh"))
+    )
+    out_dir = str(tmp_path_factory.mktemp("fuzz_ctrl_all_sf"))
+    _mutate(0, out_dir, rate=100, inject=False, ctrl_docs=True)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}.parquet')"
+        )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name in qs:
+        try:
+            got = qs[name](spark, out_dir).toPandas()
+        except Exception as exc:
+            bad.append((name, f"spark raised: {type(exc).__name__}"))
+            continue
+        if name not in osql:
+            continue
+        want = con.execute(osql[name]).fetchdf()
+        g = sorted(map(tuple, got[sorted(got.columns)].astype(str).values.tolist()))
+        w = sorted(map(tuple, want[sorted(want.columns)].astype(str).values.tolist()))
+        if g != w:
+            bad.append((name, len(g), len(w)))
+    assert not bad, f"divergence on control-chars corpus: {bad}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FUZZ_ALL"),
     reason="full-registry constant-measures sweep: set SPARK_GRAFT_FUZZ_ALL=1",
 )
 def test_every_registered_query_matches_oracle_on_constant_measures(
@@ -1463,6 +1552,7 @@ def _rotating_slice(names: list[str], offset: int, k: int = 15) -> list[str]:
         ("constant-measures", 66),
         ("inverted-dates", 148),
         ("long-docs", 91),
+        ("ctrl-docs", 73),
     ],
 )
 def test_rotating_registry_slice_matches_oracle(
@@ -1473,9 +1563,10 @@ def test_rotating_registry_slice_matches_oracle(
     tables / duplicate-row inflation / singleton fact tables / all-NULL
     measures / reversed row order / orphan-FK dims / sign-flipped
     measures / unicode corpus / zero-variance constant measures /
-    temporal inversion / long documents) against their own oracles,
-    slice advancing with the round number — every CI run exercises all
-    thirteen classes against fresh registry slices with zero env vars. The
+    temporal inversion / long documents / control-delimiter chars)
+    against their own oracles, slice advancing with the round number —
+    every CI run exercises all
+    fourteen classes against fresh registry slices with zero env vars. The
     exhaustive twin sweeps remain available via SPARK_GRAFT_FUZZ_ALL=1.
     The dup-rows class skips the structurally-detected vid-keyed-oracle
     rows (see _dup_excluded above)."""
@@ -1509,6 +1600,8 @@ def test_rotating_registry_slice_matches_oracle(
         _mutate(9, out_dir, rate=100, inject=False, dates_invert=True)
     elif klass == "long-docs":
         _mutate(0, out_dir, rate=100, inject=False, long_docs=True)
+    elif klass == "ctrl-docs":
+        _mutate(0, out_dir, rate=100, inject=False, ctrl_docs=True)
     else:
         _mutate(0, out_dir, rate=0, inject=False)
 
