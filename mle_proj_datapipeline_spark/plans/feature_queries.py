@@ -390,7 +390,11 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer GROUP BY c_nationkey)
     SELECT c.c_custkey,
            c.c_nationkey,
-           round((c.c_acctbal - s.mu) / s.sigma, 4) AS z
+           -- + 0 pins IEEE -0.0 to +0.0: a balance a hair below the
+           -- group mean rounds to negative zero in one engine and
+           -- positive zero in the other (sf1 sweep find, same pin as
+           -- the OLS-trend slope)
+           round((c.c_acctbal - s.mu) / s.sigma, 4) + 0 AS z
     FROM customer c JOIN s USING (c_nationkey)
     WHERE s.n >= 2 AND s.sigma > 0
     """,
@@ -416,6 +420,10 @@ def zscore_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_nationkey",
-            F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+            # + 0.0 pins IEEE -0.0 (mirrored in the oracle)
+            (
+                F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 4)
+                + F.lit(0.0)
+            ).alias("z"),
         )
     )

@@ -233,26 +233,62 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     density metric next to PageRank (importance) and connected
     components (membership).
 
-    Scale: edges are kept ORIENTED (u < v) by the capped fan-out
-    (cooccurrence_pairs, directed=True), so each triangle is
-    enumerated exactly once as (a<b<c) by a wedge join (e(a,b)⋈e(b,c))
-    closed by one membership equi-join on e(a,c) — the classic
-    node-iterator shape. All equi-joins on bounded keys; at production
-    scale orient by DEGREE instead of id so high-degree hubs don't own
-    every wedge (noted, same plan shape)."""
+    Scale (round 10 — the docstring's own "at production scale" note,
+    now implemented): edges are oriented by DEGREE rank (degree, id)
+    instead of id — the standard degree-ordered node-iterator. Wedges
+    fan out from each edge's LOW-rank endpoint, so the wedge count is
+    Σ C(outdeg,2) with outdeg ≤ O(√m): hubs receive edges instead of
+    fanning them out and the worst case drops from Σ deg² to O(m^1.5).
+    Every triangle is still enumerated exactly once as the rank-sorted
+    (a,b,c) and each credits all three corners — per-node counts are
+    IDENTICAL to the id-oriented form; the oracle is unchanged.
+
+    Honest measurement (synth sf1 probe): 487 s vs 429 s id-oriented —
+    NO win there, because the synthetic co-purchase graph is dense and
+    REGULAR (uniform TPC-H keys, no hubs), where both orientations
+    yield the same wedge volume; that volume is inherent to exact
+    per-node enumeration. The orientation buys worst-case protection
+    on skewed graphs (the 100 TB case that matters), not a regular-
+    graph speedup; dense-regular cost reduction would require
+    approximate counting (edge-sampled wedge checks), out of contract
+    for an oracle-gated exact query."""
+    eb = ensure_cooccurrence_edges(spark, sf_dir, "l_suppkey", "cooccur_supp")
+    deg = eb.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = eb.join(
+        F.broadcast(deg), "src"
+    ).join(
+        F.broadcast(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_dst"))
+        ),
+        "dst",
+    )
+    # both orientations exist in eb: keep the one pointing up-rank
     e = (
-        ensure_cooccurrence_edges(spark, sf_dir, "l_suppkey", "cooccur_supp")
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        ranked.filter(
+            (F.col("deg") < F.col("deg_dst"))
+            | ((F.col("deg") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+        )
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.col("deg_dst").alias("rv"),
+        )
         .localCheckpoint()
     )
-    wedge = e.alias("e1").join(
-        e.alias("e2"), F.col("e1.v") == F.col("e2.u")
-    ).select(
-        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(
+            (F.col("e1.rv") < F.col("e2.rv"))
+            | ((F.col("e1.rv") == F.col("e2.rv")) & (F.col("e1.v") < F.col("e2.v")))
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
     )
+    # rank(b) < rank(c), so a closing edge is oriented b -> c
     tri = wedge.join(
-        e.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
     )
     nodes = (
         tri.select(F.col("a").alias("node"))

@@ -237,7 +237,13 @@ def _kmeans_cte_prefix() -> str:
 def _kmeans_oracle() -> str:
     return f"""
     WITH {_kmeans_cte_prefix()}
-    SELECT cell, count(*) AS n_vecs, round(sum(dist_sq), 4) AS inertia
+    -- dist_sq is 6dp-exact (rounded per row), so cell inertia sums land
+    -- on the 4dp half-grid (sf1 sweep: 82.61325 -> .6133 vs .6132);
+    -- DECIMAL(38,6) summation makes the sum exact and the round
+    -- deterministic in both engines.
+    SELECT cell, count(*) AS n_vecs,
+           CAST(round(sum(CAST(dist_sq AS DECIMAL(38,6))), 4) AS DOUBLE)
+               AS inertia
     FROM a2 WHERE rk = 1 GROUP BY cell
     """
 
@@ -259,7 +265,10 @@ def kmeans_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _km.kmeans_iterate(emb, iterations=2)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.sum("dist_sq"), 4).alias("inertia"),
+        # decimal-grid sum: dist_sq is 6dp-exact, see the oracle comment
+        F.round(F.sum(F.col("dist_sq").cast("decimal(38,6)")), 4)
+        .cast("double")
+        .alias("inertia"),
     )
 
 

@@ -272,8 +272,20 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the three stages are the engine's proven primitives — the
     match join shuffles on the composite block key, CC runs O(log² n)
     rounds with durable per-round checkpoints, and survivorship is one
-    window + one groupBy on the cluster id. Nothing is quadratic in the
-    entity count."""
+    window + one groupBy on the cluster id.
+
+    Honest cost contract (corrected after the round-10 sf1 probe): the
+    candidate stage is Θ(Σ block²) where blocks are keyed on (nation,
+    name-length) — QUADRATIC in block size, so the total is only
+    near-linear when that key is selective. On name distributions where
+    it is not (the probe's synthetic sequential "Customer#NNNN" names:
+    25 nations × ~1 length → 60k-entity blocks at 1.5M customers), the
+    verify stage pays the dense true-pair set and the closure runs on a
+    near-complete graph — measured 499 s at synth sf1 (vs ~10 s at
+    sf0.1); the recursive-CTE oracle blows up on the same density.
+    The scalable exact upgrade is deletion-neighborhood blocking
+    (SymSpell keys: d(a,b)<=2 ⟹ shared 2-deletion variant), which
+    bounds candidates near the true-pair count — roadmap, r11."""
     from mle_proj_datapipeline_spark.operators import cc as dd
     from pyspark.sql import Window
 

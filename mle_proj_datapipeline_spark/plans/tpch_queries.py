@@ -202,8 +202,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_profit_by_nation",
     oracle="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(38,6))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey    = l.l_partkey AND p.p_name LIKE '%red%'
     JOIN supplier s ON s.s_suppkey    = l.l_suppkey
@@ -216,7 +217,20 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: the p_name LIKE filter halves the part dim before
     the fact join; profit uses a synthetic 0.5*retailprice unit cost
-    (testdata has no partsupp.ps_supplycost)."""
+    (testdata has no partsupp.ps_supplycost).
+
+    Decimal-grid summation (round-10 sf1 sweep find): each profit
+    addend is a 4-decimal-exact rational (2dp price x 2dp discount,
+    3dp cost term), so group sums frequently land EXACTLY on the
+    2-decimal rounding half-grid, where Spark's HALF_UP and DuckDB's
+    binary-value round() disagree — and double accumulation order makes
+    the cent flap between runs (observed at sf1: 183238684.105 printing
+    .1 vs .11). Casting each addend to DECIMAL(38,6) (unambiguous: a
+    4dp-exact value is never on the 6dp cast half-grid) makes the sum
+    EXACT and associative, the 2dp round deterministic (decimal tie
+    rounding is half-away-from-zero in BOTH engines, verified incl.
+    negatives), and the final double cast bit-identical — stable at any
+    scale and partial-aggregable exactly like the double sum."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
     )
@@ -234,7 +248,11 @@ def part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("order_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            F.round(F.sum(profit.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("profit")
+        )
         .orderBy("nation", "order_year")
     )
 
@@ -403,7 +421,8 @@ def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.p_brand, round(avg(l.l_quantity), 6) AS avg_qty
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY p.p_brand)
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4)))
+                       AS DOUBLE) / 7.0, 4) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN b      ON b.p_brand   = p.p_brand
@@ -414,7 +433,13 @@ def brand_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: the correlated per-group AVG subquery is
     de-correlated into one grouped aggregate broadcast back onto the
     fact — one pass over lineitem per arm instead of a subquery per row.
-    The threshold is rounded to 6 dp on both engines before comparing."""
+    The threshold is rounded to 6 dp on both engines before comparing.
+
+    The filtered price sum runs on the DECIMAL(38,4) grid (round-10 sf1
+    sweep find: the double sum's accumulation noise straddled the 4dp
+    print grid after /7, flapping the last digit between runs). The
+    exact decimal sum casts to ONE deterministic double, so /7.0 and
+    the final round are bit-identical in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
@@ -424,7 +449,13 @@ def brand_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.join(F.broadcast(b), F.col("p_brand") == F.col("b_brand"))
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -585,8 +616,14 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min_cost_supplier_per_part",
     oracle="""
     WITH unit AS (
+        -- floor-shift rounding, not round(): tiny-group unit-price
+        -- averages land exactly on the 6dp half-grid (sf1 sweep found
+        -- 259.0846875 printing .084688 in Spark HALF_UP vs .084687 in
+        -- DuckDB's binary round); floor(x*1e6 + 0.5)/1e6 is the same
+        -- double ops on the same double in both engines.
         SELECT l_partkey, l_suppkey,
-               round(avg(l_extendedprice / l_quantity), 6) AS unit_price
+               floor(avg(l_extendedprice / l_quantity) * 1000000 + 0.5)
+                   / 1000000 AS unit_price
         FROM lineitem GROUP BY l_partkey, l_suppkey),
     eu AS (
         SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -613,8 +650,15 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the supplier filter before the fact aggregate joins
     it, so the only full shuffle is the (part, supplier) aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
+    # floor-shift, mirroring the oracle (6dp half-grid fix, round 10)
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_price")
+        (
+            F.floor(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("unit_price")
     )
     eu = (
         load_table(spark, sf_dir, "supplier")
@@ -645,7 +689,9 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "local_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -664,7 +710,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     their keys (orders⋈lineitem shuffle); every dim (customer, supplier,
     nation, region) broadcasts; the nation-equality is an extra join
     predicate, not a post-filter, so mismatched rows die inside the
-    join."""
+    join. Revenue is summed on the DECIMAL(38,6) grid (round-10 sf1
+    sweep find: 4dp-exact revenue addends put nation-level sums on the
+    2dp rounding half-grid — see part_profit_by_nation) so the cent is
+    deterministic cross-engine at any scale."""
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -688,7 +737,11 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
-    return j.groupBy("n_name").agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(_revenue().cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
 
 
 # --------------------------------------------------------------------------
