@@ -106,28 +106,24 @@ def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-duplicate profile with (nation, length)
-    blocking — the fuzzy sibling of the n-gram Jaccard dedup. Blocking
-    bounds the quadratic term to within-block pairs; at 100 TB the block
-    key must be chosen so max-block-size is bounded (here: nation x
-    name-length)."""
+    """Edit-distance near-duplicate profile — the fuzzy sibling of the
+    n-gram Jaccard dedup. Candidates come from SymSpell
+    deletion-neighborhood blocking (operators/symspell.py): buckets are
+    keyed by string CONTENT (shared <=2-deletion variants), so bucket
+    sizes track edit-neighborhood density instead of attribute
+    frequency — the legacy (nation, name-length) key is Theta(sum
+    block^2) and measured 60k-entity blocks at the round-10 sf1 census.
+    The pair SET is unchanged (superset theorem + exact levenshtein
+    verify; nation and name-length equality stay in the bucket key), so
+    the oracle is untouched."""
+    from mle_proj_datapipeline_spark.operators.symspell import symspell_pairs
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("ln")
     )
-    x = c.select(
-        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), "c_nationkey", "ln"
-    )
-    y = c.select(
-        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), "c_nationkey", "ln"
-    )
     return (
-        x.join(y, ["c_nationkey", "ln"])
-        .filter(F.col("ka") < F.col("kb"))
-        .select(
-            F.col("c_nationkey").alias("nation_key"),
-            F.levenshtein("na", "nb").alias("dist"),
-        )
-        .filter(F.col("dist") <= 2)
+        symspell_pairs(c, "c_custkey", "c_name", block_cols=("c_nationkey", "ln"))
+        .select(F.col("c_nationkey").alias("nation_key"), "dist")
         .groupBy("nation_key")
         .agg(F.count(F.lit(1)).alias("n_fuzzy_pairs"), F.min("dist").alias("min_dist"))
     )
@@ -260,53 +256,36 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution capstone: (nation, name-length)-blocked
-    edit-distance matching (the fuzzy_name_pairs block key — bounded
-    blocks, no all-pairs), transitive closure via alternating large-
-    star/small-star connected components, then SURVIVORSHIP per
-    cluster: the member with the highest account balance (tie -> lowest
-    key) becomes the golden record, with member count and merged
-    balance. The recursive-CTE oracle recomputes closure + survivorship
-    end to end.
+    """Entity-resolution capstone: SymSpell deletion-neighborhood
+    blocked edit-distance matching (operators/symspell.py — candidates
+    bounded near the true-pair count on ANY name distribution, exact
+    levenshtein verify restores the precise d<=2 pair set), transitive
+    closure via alternating large-star/small-star connected components,
+    then SURVIVORSHIP per cluster: the member with the highest account
+    balance (tie -> lowest key) becomes the golden record, with member
+    count and merged balance. The recursive-CTE oracle recomputes
+    closure + survivorship end to end over the SAME pair definition
+    (same nation, same name length, levenshtein <= 2) — the blocker is
+    an exact candidate generator, so the oracle is unchanged.
 
     Scale: the three stages are the engine's proven primitives — the
-    match join shuffles on the composite block key, CC runs O(log² n)
-    rounds with durable per-round checkpoints, and survivorship is one
-    window + one groupBy on the cluster id.
-
-    Honest cost contract (corrected after the round-10 sf1 probe): the
-    candidate stage is Θ(Σ block²) where blocks are keyed on (nation,
-    name-length) — QUADRATIC in block size, so the total is only
-    near-linear when that key is selective. On name distributions where
-    it is not (the probe's synthetic sequential "Customer#NNNN" names:
-    25 nations × ~1 length → 60k-entity blocks at 1.5M customers), the
-    verify stage pays the dense true-pair set and the closure runs on a
-    near-complete graph — measured 499 s at synth sf1 (vs ~10 s at
-    sf0.1); the recursive-CTE oracle blows up on the same density.
-    The scalable exact upgrade is deletion-neighborhood blocking
-    (SymSpell keys: d(a,b)<=2 ⟹ shared 2-deletion variant), which
-    bounds candidates near the true-pair count — roadmap, r11."""
+    candidate join shuffles on content-keyed deletion buckets (the
+    round-10 census showed the legacy (nation, name-length) key
+    degrading to Θ(Σ block²) = 499 s on 60k-entity blocks at synth
+    sf1; deletion buckets are immune to attribute-frequency skew), CC
+    runs O(log² n) rounds with durable per-round checkpoints, and
+    survivorship is one window + one groupBy on the cluster id."""
     from mle_proj_datapipeline_spark.operators import cc as dd
+    from mle_proj_datapipeline_spark.operators.symspell import symspell_pairs
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey",
         F.length("c_name").alias("ln"),
     )
-    x = c.select(
-        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
-        "c_nationkey", "ln",
-    )
-    y = c.select(
-        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"),
-        "c_nationkey", "ln",
-    )
-    pairs = (
-        x.join(y, ["c_nationkey", "ln"])
-        .filter(F.col("ka") < F.col("kb"))
-        .filter(F.levenshtein("na", "nb") <= 2)
-        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
-    )
+    pairs = symspell_pairs(
+        c, "c_custkey", "c_name", block_cols=("c_nationkey", "ln")
+    ).select("id_a", "id_b")
     comps = dd.connected_components_star(pairs)
     enr = comps.join(
         c.select("c_custkey", "c_name", "c_acctbal"),

@@ -210,20 +210,34 @@ def approx_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan that replaces exact Expand-based count-distinct at 100 TB
     (exact distinct needs a full shuffle per distinct set; sketches
     combine map-side and merge in O(sketch) per partition). The exact
-    twin runs beside the sketches; the emitted columns are the exact
+    twins run beside the sketches so the oracle can hash-match — but as
+    three SEPARATE single-column aggregates broadcast-joined back onto
+    the one-row sketch result, NOT as co-aggregated distinct sets:
+    multiple countDistincts in one Aggregate force Catalyst's
+    RewriteDistinctAggregates Expand (×4 replication of every scanned
+    row plus a per-distinct-set shuffle — measured 34–48 s at sf1,
+    round-10 census). Each split twin instead prunes the scan to ONE
+    column and two-phase partial-aggregates it; the sketch pass itself
+    stays a single Expand-free scan. The emitted columns are the exact
     counts plus a bounds flag asserting every estimate lands within 5×
-    the configured rsd (0.01 → ±5 %, far beyond 3σ), so the oracle can
-    hash-match while the sketch path stays exercised."""
+    the configured rsd (0.01 → ±5 %, far beyond 3σ)."""
     o = load_table(spark, sf_dir, "orders")
     month = F.date_trunc("month", "o_orderdate").cast("date")
-    agg = o.agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderpriority").alias("n_priorities"),
-        F.countDistinct(month).alias("n_months"),
+    sketch = o.agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("e_customers"),
         F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("e_priorities"),
         F.approx_count_distinct(month, rsd=0.01).alias("e_months"),
+    )
+    # One-row exact twins: single distinct set each → two-phase hash
+    # aggregate over a one-column pruned scan, no Expand anywhere.
+    ex_cust = o.agg(F.countDistinct("o_custkey").alias("n_customers"))
+    ex_prio = o.agg(F.countDistinct("o_orderpriority").alias("n_priorities"))
+    ex_month = o.agg(F.countDistinct(month).alias("n_months"))
+    agg = (
+        sketch.crossJoin(F.broadcast(ex_cust))
+        .crossJoin(F.broadcast(ex_prio))
+        .crossJoin(F.broadcast(ex_month))
     )
 
     def within(est: str, exact: str) -> F.Column:

@@ -522,3 +522,53 @@ def test_hotfix_anti_join_pushes_date_and_prunes(spark):
     assert "LeftAnti" in plan, plan
     # orders side reads only o_custkey + o_orderdate (2 fields -> 3 colons)
     assert min(read_schema_widths(plan)) <= 3, plan
+
+
+def test_approx_cardinalities_no_expand(spark):
+    """approx_order_cardinalities (r11 rewrite): the three exact
+    countDistinct twins must run as SEPARATE single-distinct-set
+    aggregates broadcast-joined back — co-aggregating them triggers
+    Catalyst's RewriteDistinctAggregates Expand (×4 row replication of
+    the orders scan plus a shuffle per distinct set; 34–48 s at sf1 in
+    the round-10 census). The sketch pass itself is Expand-free."""
+    plan = plan_of(spark, "approx_order_cardinalities")
+    assert "Expand" not in plan, f"distinct-aggregate Expand is back\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, (
+        f"exact twins must broadcast back onto the sketch row\n{plan}"
+    )
+
+
+def test_golden_records_no_block_self_join(spark):
+    """customer_golden_records (r11 rewrite): candidates must come from
+    the SymSpell deletion-variant equi-join — content-keyed buckets —
+    not a (nation, name-length) block self-join (Θ(Σ block²): 499 s on
+    60k-entity blocks at the round-10 sf1 census). The CC stage
+    localCheckpoints, so the final plan starts from ExistingRDD scans;
+    the candidate stage is gated on the symspell operator's own plan
+    (exactly what the query feeds into CC), whose signature is a
+    Generate(explode) of the deletion array into a hash equi-join."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.symspell import symspell_pairs
+
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("ln")
+    )
+    pairs = symspell_pairs(c, "c_custkey", "c_name", block_cols=("c_nationkey", "ln"))
+    pplan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "Generate" in pplan, f"deletion-variant explode missing\n{pplan}"
+    assert "CartesianProduct" not in pplan, pplan
+    assert "BroadcastNestedLoopJoin" not in pplan, pplan
+    # equi-join on the variant bucket key, not a nested loop (at
+    # sf0.01 the variant side fits a broadcast; at scale AQE keeps it
+    # a shuffle hash/sort-merge — all three are keyed hash joins)
+    assert any(
+        j in pplan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), pplan
+    # and the final composed query stays cartesian-free
+    plan = plan_of(spark, "customer_golden_records")
+    assert "CartesianProduct" not in plan, plan
