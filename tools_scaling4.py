@@ -241,12 +241,18 @@ def main() -> None:
         "| query | t@sf0.001 | t@sf0.01 | t@sf0.1 | t@sf1 | exp3 | exp4 | flag |",
         "|---|---|---|---|---|---|---|---|",
     ]
+    def fmt(x, spec=".2f"):
+        # fit_exponent returns None on degenerate timings (non-positive
+        # or missing) — render 'n/a' instead of crashing the report
+        # AFTER the expensive bench pass (ADVICE r10).
+        return format(x, spec) if x is not None else "n/a"
+
     for n in sorted(queries, key=lambda q: -(queries[q]["exponent_4pt"] or -9)):
         q = queries[n]
         ts = [q["t_by_sf"][sf] for sf in sf_dirs]
         lines.append(
-            f"| {n} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {ts[3]:.2f} "
-            f"| {q['exponent_3pt']:.2f} | {q['exponent_4pt']:.2f} "
+            f"| {n} | {fmt(ts[0])} | {fmt(ts[1])} | {fmt(ts[2])} | {fmt(ts[3])} "
+            f"| {fmt(q['exponent_3pt'])} | {fmt(q['exponent_4pt'])} "
             f"| {'**FLAGGED**' if q['flagged'] else ''} |"
         )
     splice_md("\n".join(lines))
