@@ -116,10 +116,11 @@ HEADLINE = [
 ]
 
 
-def _prev_round_timings() -> tuple[dict[str, float], float]:
-    """Per-query steady-state timings (and the calibration-probe JVM
-    seconds, 0.0 if the round predates the probe) from the latest
-    BENCH_r*.json in the repo root — enables round-over-round deltas."""
+def _prev_round_timings() -> tuple[dict[str, float], float, float]:
+    """Per-query steady-state timings (and both calibration-probe
+    readings — fixed-compute JVM seconds and the shuffle probe, 0.0 if
+    the round predates either) from the latest BENCH_r*.json in the
+    repo root — enables round-over-round deltas."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -133,15 +134,20 @@ def _prev_round_timings() -> tuple[dict[str, float], float]:
             d = d.get("parsed", d) if isinstance(d, dict) else {}
             q = dict((d or {}).get("queries", {}))
             if q:
-                # calib rides in the compact line from round 9 on; for
-                # earlier rounds it is 0.0 and normalization is skipped
-                # (a same-round BENCH_DETAIL fallback would pair prev-
-                # round timings with this round's environment — wrong
-                # epoch, worse than no normalization).
-                return q, float((d or {}).get("calib", 0.0) or 0.0)
+                # calib rides in the compact line from round 9 on, the
+                # shuffle probe from round 11; for earlier rounds they
+                # are 0.0 and normalization is skipped (a same-round
+                # BENCH_DETAIL fallback would pair prev-round timings
+                # with this round's environment — wrong epoch, worse
+                # than no normalization).
+                return (
+                    q,
+                    float((d or {}).get("calib", 0.0) or 0.0),
+                    float((d or {}).get("calib_sh", 0.0) or 0.0),
+                )
         except (OSError, ValueError, AttributeError):
             continue
-    return {}, 0.0
+    return {}, 0.0, 0.0
 
 
 def _calibration_probe(spark) -> dict[str, float]:
@@ -160,6 +166,20 @@ def _calibration_probe(spark) -> dict[str, float]:
             "sum(id * 2654435761 % 1000003) AS s"
         ).write.format("noop").mode("overwrite").save()
         jvm_runs.append(time.perf_counter() - t0)
+    # Shuffle-weighted twin (VERDICT r10 item 7): the compute-only probe
+    # over-corrects compute-heavy queries when drift is in the exchange
+    # path (task scheduling, shuffle I/O, serialization). A constant
+    # 100k-row hash-repartition + aggregation brackets that axis so the
+    # normalized deltas can be read against BOTH ratios.
+    shuffle_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(100_000).selectExpr("id % 1009 AS k", "id AS v").repartition(
+            32, "k"
+        ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        shuffle_runs.append(time.perf_counter() - t0)
     duck_runs: list[float] = []
     try:
         import duckdb
@@ -178,7 +198,11 @@ def _calibration_probe(spark) -> dict[str, float]:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
-    return {"jvm": round(med(jvm_runs), 3), "duckdb": round(med(duck_runs), 3)}
+    return {
+        "jvm": round(med(jvm_runs), 3),
+        "jvm_shuffle": round(med(shuffle_runs), 3),
+        "duckdb": round(med(duck_runs), 3),
+    }
 
 
 def _release_checkpoints(spark) -> None:
@@ -249,15 +273,22 @@ def main() -> None:
         n: {"min": min(rs), "max": max(rs), "runs": rs} for n, rs in runs.items()
     }
 
-    prev, prev_calib = _prev_round_timings()
+    prev, prev_calib, prev_calib_sh = _prev_round_timings()
     deltas = {
         n: round(timings[n] - prev[n], 3) for n in timings if n in prev
     }
     # Drift-normalized deltas: scale this round's timing by the inverse
     # of the environment-probe ratio before differencing. Only available
-    # once the previous round also carried the probe.
+    # once the previous round also carried the probe. The shuffle-probe
+    # ratio rides alongside (available from round 12 on) so adjudication
+    # can bracket fixed-compute vs exchange-path drift.
     drift_ratio = (
         round(calib["jvm"] / prev_calib, 4) if prev_calib > 0 else None
+    )
+    drift_ratio_shuffle = (
+        round(calib["jvm_shuffle"] / prev_calib_sh, 4)
+        if prev_calib_sh > 0
+        else None
     )
     deltas_norm = (
         {
@@ -285,7 +316,9 @@ def main() -> None:
         "delta_vs_prev_round_drift_normalized": deltas_norm,
         "calibration_probe": calib,
         "calibration_probe_prev_jvm": prev_calib,
+        "calibration_probe_prev_jvm_shuffle": prev_calib_sh,
         "drift_ratio_vs_prev": drift_ratio,
+        "drift_ratio_shuffle_vs_prev": drift_ratio_shuffle,
         "warm_reps": reps,
         "warm_spread": spread,
     }
@@ -310,6 +343,7 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf,
         "calib": round(calib["jvm"], 2),
+        "calib_sh": round(calib["jvm_shuffle"], 2),
     }
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guard: the driver keeps the LAST 2000 chars of output and our
