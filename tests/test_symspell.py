@@ -135,3 +135,77 @@ def test_symspell_pairs_unique_and_verified(spark):
         assert p.filter(F.col("id_a") >= F.col("id_b")).count() == 0
     finally:
         p.unpersist()
+
+
+_ADVERSARIAL_NAMES = [
+    # dense same-length cluster (every pair within lev 2)
+    "Customer#000000001", "Customer#000000002", "Customer#000000011",
+    "Customer#000000021", "Customer#000000012",
+    # rotation shifts: equal length, lev 2 via insert+delete, differing
+    # at EVERY position — the case a substitution-only blocker misses
+    "abcdefgh", "bcdefgha", "habcdefg",
+    # repeated-char runs (deletion variants collapse heavily)
+    "aaaaaaaa", "aaaabaaa", "aabaaaba", "aaaaaaab",
+    # near-identical long names differing at the ends
+    "Xupplier#000000500", "Supplier#000000500", "Supplier#000000505",
+    # unicode: combining marks, precomposed, astral plane, fullwidth —
+    # exactness must hold in Spark's CODE-POINT metric (DuckDB's
+    # levenshtein is BYTE-based, so these stay out of DuckDB oracles;
+    # see test docstrings below)
+    "naïve", "naïve", "naive", "naivx",
+    "a\U0001F600b", "a\U0001F600c", "\U0001F600\U0001F600b",
+    "ａｂｃ", "ａｂｄ",
+    "İstanbul", "istanbul", "Istanbul",
+]
+
+
+def test_symspell_exact_under_spark_metric_on_adversarial_names(spark):
+    """ENGINE-internal exactness on adversarial name structures —
+    rotation shifts, char runs, dense clusters, combining marks,
+    astral-plane and fullwidth code points: the SymSpell candidate set
+    must reproduce EXACTLY the brute-force all-pairs levenshtein<=2
+    pair set computed by Spark itself (one metric used consistently,
+    so this gates the blocker + the deletion generator's substring/
+    length semantics, independent of any oracle engine)."""
+    rows = [(i, n) for i, n in enumerate(_ADVERSARIAL_NAMES)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in symspell_pairs(df, "id", "name").collect()
+    }
+    a = df.select(F.col("id").alias("ka"), F.col("name").alias("na"))
+    b = df.select(F.col("id").alias("kb"), F.col("name").alias("nb"))
+    want = {
+        (r.ka, r.kb)
+        for r in a.crossJoin(b)
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .collect()
+    }
+    assert got == want
+    assert want, "adversarial fixture must produce true pairs"
+    # the rotation shift must be present (insert+delete, not 2 subs)
+    ia = _ADVERSARIAL_NAMES.index("abcdefgh")
+    ib = _ADVERSARIAL_NAMES.index("bcdefgha")
+    assert (min(ia, ib), max(ia, ib)) in got
+
+
+def test_levenshtein_cross_engine_contract_is_ascii():
+    """Documented oracle-encoding limit (round 11): Spark's levenshtein
+    counts CODE POINTS; DuckDB's counts BYTES (fullwidth 'a'->'a' costs
+    3 there, an astral-plane deletion costs 4). The two agree exactly
+    on ASCII — the domain of every registered fuzzy-match oracle
+    (TPC-H names) — so oracle parity is certified on ASCII name
+    domains and the engine's code-point semantics is the declared
+    contract for non-ASCII. This test pins the DuckDB byte behavior
+    so an engine upgrade that silently changes it re-opens the
+    adjudication."""
+    import duckdb
+
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT levenshtein('ａｂｃ', 'abc')"
+    ).fetchone()[0] == 9  # byte metric
+    assert con.execute(
+        "SELECT levenshtein('Customer#000000001', 'Customer#000000011')"
+    ).fetchone()[0] == 1  # ASCII agrees with Spark
