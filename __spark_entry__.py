@@ -46,18 +46,28 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _git_mtime(path: str) -> float:
+def _git_mtime(path: str, first_parent: bool = False) -> float:
     """Last-commit unix time of ``path`` (fallback: filesystem mtime).
 
     Driver CORRECTNESS files and source modules are both git-tracked, so
     commit times give a consistent clock for row-vs-implementation
     freshness even on a fresh checkout where fs mtimes are meaningless.
+
+    ``first_parent=True`` walks only the main line, so a change authored
+    on a prep branch is timed at its MERGE to main, not its (earlier)
+    branch-side authoring commit.  Implementation files must use this:
+    the round-11 skew was prep commits (12:25) predating the driver
+    artifacts committed at the next hour zero (15:26), which made
+    pre-change driver rows look fresh against post-merge code.
     """
     import subprocess
 
+    cmd = ["git", "-C", _REPO_DIR, "log", "-1", "--format=%ct"]
+    if first_parent:
+        cmd.append("--first-parent")
     try:
         out = subprocess.run(
-            ["git", "-C", _REPO_DIR, "log", "-1", "--format=%ct", "--", path],
+            cmd + ["--", path],
             capture_output=True,
             text=True,
             timeout=30,
@@ -70,6 +80,28 @@ def _git_mtime(path: str) -> float:
         return os.path.getmtime(path)
     except OSError:
         return 0.0
+
+
+def _row_time(path: str) -> float:
+    """Generation-or-commit time of a driver artifact, whichever is
+    EARLIER.
+
+    Driver CORRECTNESS files are generated at round N's end but only
+    committed at round N+1's hour zero — after any prep-branch merge —
+    so the commit clock alone can postdate code changes the rows never
+    saw.  In the persistent round workspace the artifact's fs mtime is
+    its true generation time (verified: CORRECTNESS_r11.json mtime ==
+    the driver pass at 19:40); on a fresh checkout fs mtime is checkout
+    time (newer than the commit), so ``min`` degrades to the commit
+    clock.  Taking the minimum is conservative in the safe direction: a
+    row can only be re-classified stale (re-verified), never fresh.
+    """
+    t = _git_mtime(path)
+    try:
+        fs = os.path.getmtime(path)
+    except OSError:
+        return t
+    return min(t, fs) if t else fs
 
 
 def _coverage_order(names: list[str]) -> list[str]:
@@ -144,7 +176,9 @@ def _coverage_order(names: list[str]) -> list[str]:
         if not path:
             return 0.0
         if path not in module_mtime:
-            module_mtime[path] = max(_git_mtime(p) for p in _dep_files(path))
+            module_mtime[path] = max(
+                _git_mtime(p, first_parent=True) for p in _dep_files(path)
+            )
         return module_mtime[path]
 
     fresh: dict[str, int] = {n: 0 for n in names}
@@ -155,7 +189,7 @@ def _coverage_order(names: list[str]) -> list[str]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        row_time = _git_mtime(path)
+        row_time = _row_time(path)
         for name, row in rows.items():
             if name not in total:
                 continue

@@ -1,8 +1,11 @@
 """SymSpell deletion-neighborhood blocking for bounded edit-distance
-candidate generation (reference parity: the fuzzy-match dedup the
-reference performs row-wise in pandas, e.g. utils/data_cleaning.py's
-normalization+dedupe passes, re-expressed as a distributed blocked
-join).
+candidate generation.
+
+The fuzzy-match family (entity resolution, near-duplicate names) is an
+ENGINE EXTENSION per BASELINE.json's north star — the reference
+(brsse/mle_proj_datapipeline) has no fuzzy-matching code to cite; it is
+part of the "beyond the reference's own surface" LLM-data-pipeline
+operator set this engine adds for 100 TB training-data work.
 
 Theorem (SymSpell / Garbe): if ``levenshtein(a, b) <= d`` then deleting
 at most ``d`` characters from each of ``a`` and ``b`` can produce a

@@ -121,13 +121,23 @@ for i, name in enumerate(qs):
     try:
         if name in SF1_OVERRIDES:
             fn = SF1_OVERRIDES[name]
-            if fn not in _override_cache:
+            cached = fn in _override_cache
+            if not cached:
                 _override_cache[fn] = fn(con)
-            want = _override_cache[fn]
-            rec["oracle_encoding"] = "staged"
+            # Defensive copy: two queries can share one staged fn
+            # (pagerank + its served twin); a future in-place mutation
+            # during diff reporting must not corrupt the second compare.
+            want = _override_cache[fn].copy()
+            rec["oracle_encoding"] = "staged-cached" if cached else "staged"
         else:
             want = run_oracle(osql[name])
-        rec["t_duckdb"] = round(time.time() - t1, 1)
+        # A cached staged hit costs ~0s; record null so timings aren't
+        # mistaken for a real oracle run.
+        rec["t_duckdb"] = (
+            None
+            if rec.get("oracle_encoding") == "staged-cached"
+            else round(time.time() - t1, 1)
+        )
     except Exception as exc:
         rec["status"] = "oracle_err"
         rec["detail"] = f"{type(exc).__name__}: {str(exc)[:200]}"
