@@ -243,10 +243,37 @@ def main() -> None:
     # what scales with data volume. `value` reports steady state;
     # cold numbers ride along for transparency.
     cold: dict[str, float] = {}
+    exchanges: dict[str, int] = {}
+    job_counts: dict[str, int] = {}
+    tracker = spark.sparkContext.statusTracker()
+
+    def _job_count() -> int:
+        try:
+            return len(tracker.getJobIdsForGroup(None))
+        except Exception:
+            return 0
+
     for name in names:
+        jobs0 = _job_count()
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+        # Probe classification signals (VERDICT r11 item 6), gathered
+        # outside the timed region: Exchange count in the physical plan
+        # proxies per-action stage weight, and the job-count delta
+        # catches iterative/multi-job queries (k-means training,
+        # pagerank, BPE) whose scheduling cost never shows in the final
+        # returned plan. Either being high means exchange/scheduling
+        # drift dominates, so the shuffle probe's ratio matches better
+        # than the fixed-compute probe's.
+        try:
+            exchanges[name] = (
+                df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+            )
+        except Exception:
+            exchanges[name] = -1
+        job_counts[name] = _job_count() - jobs0
         _release_checkpoints(spark)
 
     # Steady state is the MEDIAN of N warm repeats (VERDICT r6 item 2:
@@ -299,6 +326,44 @@ def main() -> None:
         if drift_ratio
         else {}
     )
+    deltas_norm_shuffle = (
+        {
+            n: round(timings[n] / drift_ratio_shuffle - prev[n], 3)
+            for n in timings
+            if n in prev
+        }
+        if drift_ratio_shuffle
+        else {}
+    )
+    # Matched normalization (VERDICT r11 item 6): r11's compute-only
+    # probe over-corrected exchange-heavy queries (ann_ivf_trained_topk
+    # read +0.55 s normalized vs +0.1 s raw). Each query now uses the
+    # probe matching its plan class — >= 4 Exchanges in the physical
+    # plan means stage-scheduling/exchange cost dominates at sf0.1, so
+    # the shuffle probe's ratio applies; otherwise the fixed-compute
+    # probe's. Both raw maps ride alongside so adjudication can bracket.
+    _SHUFFLE_CLASS_MIN_EXCHANGES = 4
+    _SHUFFLE_CLASS_MIN_JOBS = 4
+    probe_class = {
+        n: (
+            "shuffle"
+            if exchanges.get(n, 0) >= _SHUFFLE_CLASS_MIN_EXCHANGES
+            or job_counts.get(n, 0) >= _SHUFFLE_CLASS_MIN_JOBS
+            else "compute"
+        )
+        for n in names
+    }
+    deltas_norm_matched = {}
+    for n in timings:
+        if n not in prev:
+            continue
+        r = (
+            drift_ratio_shuffle
+            if probe_class[n] == "shuffle"
+            else drift_ratio
+        )
+        if r:
+            deltas_norm_matched[n] = round(timings[n] / r - prev[n], 3)
     # The driver captures only the tail (~2 KB) of stdout, so the line it
     # parses must stay compact: steady-state totals + per-query warm only,
     # tight separators, 2-decimal precision. Cold timings and
@@ -314,6 +379,11 @@ def main() -> None:
         "cold_queries": cold,
         "delta_vs_prev_round": deltas,
         "delta_vs_prev_round_drift_normalized": deltas_norm,
+        "delta_vs_prev_round_drift_normalized_shuffle": deltas_norm_shuffle,
+        "delta_vs_prev_round_drift_normalized_matched": deltas_norm_matched,
+        "probe_class": probe_class,
+        "exchange_counts": exchanges,
+        "cold_job_counts": job_counts,
         "calibration_probe": calib,
         "calibration_probe_prev_jvm": prev_calib,
         "calibration_probe_prev_jvm_shuffle": prev_calib_sh,
