@@ -161,7 +161,13 @@ def connected_components_star(
     def mins_of(e: DataFrame) -> DataFrame:
         return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the input pair list ONCE before deriving nodes and
+    # edges: both are separate actions, and without this cut each one
+    # re-evaluates the full upstream pair plan (round-12 falsification:
+    # customer_golden_records paid its whole SymSpell candidate stage
+    # twice — 325 s vs ~140 s single-pass on the sparse-name probe).
+    # The cut is output-sized (the pair list), never the corpus.
+    raw = cut(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")), "raw", 0)
     nodes = cut(
         raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct(), "nodes", 0
     )

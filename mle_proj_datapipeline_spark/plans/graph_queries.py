@@ -254,12 +254,18 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an oracle-gated exact query."""
     eb = ensure_cooccurrence_edges(spark, sf_dir, "l_suppkey", "cooccur_supp")
     deg = eb.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranked = eb.join(
-        F.broadcast(deg), "src"
-    ).join(
-        F.broadcast(
-            deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_dst"))
-        ),
+    # Node-cardinality gate for the degree-join hints (ADVICE r11): the
+    # per-node degree table is |V|-sized, and an unconditional broadcast
+    # would ship an unbounded relation to every executor at 100 TB
+    # scale. Same declared cap as the CC/pagerank kernels; over it,
+    # AQE picks the join strategy on real stats.
+    small_graph = deg.count() <= 1_000_000
+
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
+    ranked = eb.join(hint(deg), "src").join(
+        hint(deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_dst"))),
         "dst",
     )
     # both orientations exist in eb: keep the one pointing up-rank

@@ -108,14 +108,18 @@ def orders_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate profile — the fuzzy sibling of the
     n-gram Jaccard dedup. Candidates come from SymSpell
-    deletion-neighborhood blocking (operators/symspell.py): buckets are
-    keyed by string CONTENT (shared <=2-deletion variants), so bucket
-    sizes track edit-neighborhood density instead of attribute
-    frequency — the legacy (nation, name-length) key is Theta(sum
-    block^2) and measured 60k-entity blocks at the round-10 sf1 census.
-    The pair SET is unchanged (superset theorem + exact levenshtein
-    verify; nation and name-length equality stay in the bucket key), so
-    the oracle is untouched."""
+    deletion-neighborhood blocking (operators/symspell.py, r12 rebuild:
+    ONE groupBy shuffle on the hashed variant key + in-bucket pair
+    expansion): buckets are keyed by string CONTENT (shared
+    <=2-deletion variants), so bucket sizes track edit-neighborhood
+    density instead of attribute frequency — the legacy (nation,
+    name-length) key is Theta(sum block^2) and measured 60k-entity
+    blocks at the round-10 sf1 census; the r11 variant self-join paid
+    an output-independent constant the round-12 sparse-name probe
+    exposed (139.6 s -> 13.3 s warm, FALSIFY_r12.json). The pair SET
+    is unchanged (superset theorem + exact levenshtein verify; nation
+    and name-length equality stay in the bucket key), so the oracle is
+    untouched."""
     from mle_proj_datapipeline_spark.operators.symspell import symspell_pairs
 
     c = load_table(spark, sf_dir, "customer").select(
@@ -269,12 +273,16 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact candidate generator, so the oracle is unchanged.
 
     Scale: the three stages are the engine's proven primitives — the
-    candidate join shuffles on content-keyed deletion buckets (the
-    round-10 census showed the legacy (nation, name-length) key
-    degrading to Θ(Σ block²) = 499 s on 60k-entity blocks at synth
-    sf1; deletion buckets are immune to attribute-frequency skew), CC
-    runs O(log² n) rounds with durable per-round checkpoints, and
-    survivorship is one window + one groupBy on the cluster id."""
+    candidate stage is ONE groupBy shuffle on content-keyed deletion
+    buckets (r12 rebuild; the round-10 census showed the legacy
+    (nation, name-length) key degrading to Θ(Σ block²) = 499 s on
+    60k-entity blocks at synth sf1, and the r11 variant self-join
+    carried an output-independent constant — 325.5 s on the round-12
+    sparse probe, 15.5 s warm after the rebuild + the CC raw-pair
+    materialization fix, FALSIFY_r12.json), CC runs O(log² n) rounds
+    with durable per-round checkpoints over a pair list materialized
+    ONCE, and survivorship is one window + one groupBy on the cluster
+    id."""
     from mle_proj_datapipeline_spark.operators import cc as dd
     from mle_proj_datapipeline_spark.operators.symspell import symspell_pairs
     from pyspark.sql import Window

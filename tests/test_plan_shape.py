@@ -540,14 +540,19 @@ def test_approx_cardinalities_no_expand(spark):
 
 
 def test_golden_records_no_block_self_join(spark):
-    """customer_golden_records (r11 rewrite): candidates must come from
-    the SymSpell deletion-variant equi-join — content-keyed buckets —
-    not a (nation, name-length) block self-join (Θ(Σ block²): 499 s on
-    60k-entity blocks at the round-10 sf1 census). The CC stage
-    localCheckpoints, so the final plan starts from ExistingRDD scans;
-    the candidate stage is gated on the symspell operator's own plan
-    (exactly what the query feeds into CC), whose signature is a
-    Generate(explode) of the deletion array into a hash equi-join."""
+    """customer_golden_records (r12 rebuild): candidates must come from
+    SymSpell deletion-variant BUCKETS — content-keyed, ONE groupBy
+    shuffle + in-bucket HOF pair expansion — not a (nation,
+    name-length) block self-join (Θ(Σ block²): 499 s on 60k-entity
+    blocks at the round-10 sf1 census) and not the r11 variant
+    self-join (double generation + output-independent constant:
+    139.6 s on the sparse falsification set, FALSIFY_r12.json). The
+    CC stage localCheckpoints, so the final plan starts from
+    ExistingRDD scans; the candidate stage is gated on the symspell
+    operator's own plan (exactly what the query feeds into CC):
+    Generate(explode) of the deletion array into a collect_list
+    aggregate, with an equi-join present only as the oversize-bucket
+    fallback arm."""
     import pyspark.sql.functions as F
 
     from mle_proj_datapipeline_spark.operators.symspell import symspell_pairs
@@ -562,9 +567,11 @@ def test_golden_records_no_block_self_join(spark):
     assert "Generate" in pplan, f"deletion-variant explode missing\n{pplan}"
     assert "CartesianProduct" not in pplan, pplan
     assert "BroadcastNestedLoopJoin" not in pplan, pplan
-    # equi-join on the variant bucket key, not a nested loop (at
-    # sf0.01 the variant side fits a broadcast; at scale AQE keeps it
-    # a shuffle hash/sort-merge — all three are keyed hash joins)
+    # primary path: ONE shuffle — collect_list bucket aggregate
+    # (ObjectHashAggregate) feeding the C(k,2) HOF expansion
+    assert "collect_list" in pplan, f"bucket aggregate missing\n{pplan}"
+    # fallback arm for oversize buckets stays a keyed hash join, never
+    # a nested loop (gated above)
     assert any(
         j in pplan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
