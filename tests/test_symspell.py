@@ -137,6 +137,45 @@ def test_symspell_pairs_unique_and_verified(spark):
         p.unpersist()
 
 
+def test_oversize_bucket_fallback_arm_is_exact(spark):
+    """The r12 bucket plan routes buckets larger than
+    ``max_bucket_expand`` through a per-bucket equi-join instead of the
+    C(k,2) array expansion. At the default cap (1024) no test dataset
+    ever exceeds it, so this test FORCES the arm with a tiny cap on a
+    name multiset with deliberately large shared-variant buckets
+    (exact duplicates + a dense 1-edit cluster) and pins pair-set
+    equality against brute force — covering the small-arm, big-arm,
+    and straddling case (one pair sharing variants in buckets on BOTH
+    sides of the cap), where dropDuplicates must collapse the two
+    paths' copies of the same pair."""
+    import pyspark.sql.functions as F
+
+    names = (
+        ["duptown"] * 9                       # exact-dup bucket, k=9 > cap
+        + [f"clu{c}ter" for c in "abcdefgh"]  # dense 1-edit cluster
+        + ["solo", "solox", "faraway"]        # small buckets
+    )
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in symspell_pairs(df, "id", "name", max_bucket_expand=4).collect()
+    }
+    a = df.select(F.col("id").alias("ka"), F.col("name").alias("na"))
+    b = df.select(F.col("id").alias("kb"), F.col("name").alias("nb"))
+    want = {
+        (r.ka, r.kb)
+        for r in a.crossJoin(b)
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .collect()
+    }
+    assert got == want
+    # sanity on the fixture: the dup bucket alone implies C(9,2) pairs
+    assert len(want) >= 36
+
+
 _ADVERSARIAL_NAMES = [
     # dense same-length cluster (every pair within lev 2)
     "Customer#000000001", "Customer#000000002", "Customer#000000011",
