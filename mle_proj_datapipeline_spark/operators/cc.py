@@ -45,26 +45,36 @@ def connected_components(
       practice; for adversarial chain graphs swap in alternating
       large-star/small-star (same join primitive, O(log^2 n) rounds).
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .dropDuplicates(["a", "b"])
-        .localCheckpoint()
-    )
+    # Materialize the input pair list ONCE before anything consumes it
+    # twice: the symmetrizing union below references the pair plan in
+    # BOTH branches, so without this cut the caller's full candidate-
+    # generation subtree (MinHash shingle/sig/band work) executes twice
+    # inside one job (r12 — the same double-eval the star kernel fixed
+    # in round 12 prep; guide §2.4). The cut is pair-list-sized.
+    raw = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     # Small-graph arm: below the gate, per-round shuffle/checkpoint
     # overhead dwarfs the work — one driver union-find replaces the
     # whole iteration (operators/cc_local.py; same canonical labels).
-    # The gate counts UNDIRECTED pairs (a <= b over the symmetrized
-    # dedup'd frame: one row per unique pair incl. self-loops), so
-    # ``driver_max_edges`` means what the parameter name says — input
-    # pairs, not 2x directed rows (ADVICE r7: the symmetrized count
-    # silently halved the effective cap).
+    # Fast gate: raw pair rows bound unique pairs from above, so
+    # raw_count ≤ cap proves the graph small WITHOUT building the
+    # symmetrized frame at all (union-find needs neither orientation
+    # nor dedup — r12: saves the sym shuffle + materialization on the
+    # arm where they are pure overhead). Above the fast gate, the exact
+    # unique-pair count still decides (ADVICE r7 semantics: the gate
+    # counts UNDIRECTED pairs incl. self-loops, never 2x directed rows).
+    from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
+
+    if driver_max_edges and raw.count() <= driver_max_edges:
+        return union_find_labels(raw, "a", "b")
+    edges = (
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
     if (
         driver_max_edges
         and edges.filter(F.col("a") <= F.col("b")).count() <= driver_max_edges
     ):
-        from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
-
         return union_find_labels(edges, "a", "b")
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -168,23 +178,31 @@ def connected_components_star(
     # twice — 325 s vs ~140 s single-pass on the sparse-name probe).
     # The cut is output-sized (the pair list), never the corpus.
     raw = cut(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")), "raw", 0)
+    # Small-graph arm, fast gate (r12): raw pair rows bound unique
+    # pairs from above, so raw_count ≤ cap proves the graph small
+    # WITHOUT building the node or symmetrized-edge frames — the driver
+    # union-find consumes the raw list directly (orientation, dups and
+    # self-loops are all immaterial to it, and self-loop-only nodes
+    # stay in its node universe, so singletons need no re-join). Two
+    # shuffles + two materializations disappear on the arm where they
+    # were pure overhead. Above the fast gate the exact symmetrized
+    # count still decides (ADVICE r7 semantics: the gate counts unique
+    # input pairs, never 2x directed rows).
+    from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
+
+    if driver_max_edges and raw.count() <= driver_max_edges:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver-union-find"
+        return union_find_labels(raw, "u", "v")
     nodes = cut(
         raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct(), "nodes", 0
     )
     edges = cut(sym(raw), "edges", 0)
     edge_count = edges.count()
-    # Small-graph arm: the edge count is already in hand for the
-    # convergence probe; below the gate, one driver union-find replaces
-    # the whole round loop (operators/cc_local.py — same canonical
-    # labels, microseconds at this size). Self-loop-only nodes still
-    # come back as singletons through the final nodes join. ``sym``
-    # drops self-loops and keeps both orientations, so edge_count is
-    # exactly 2x the unique input pairs — gate on pairs, not directed
-    # rows, so ``driver_max_edges`` means what the name says (ADVICE
-    # r7: the symmetrized count silently halved the effective cap).
+    # ``sym`` drops self-loops and keeps both orientations, so
+    # edge_count is exactly 2x the unique input pairs.
     if driver_max_edges and edge_count // 2 <= driver_max_edges:
-        from mle_proj_datapipeline_spark.operators.cc_local import union_find_labels
-
         if stats is not None:
             stats["rounds"] = 0
             stats["mode"] = "driver-union-find"

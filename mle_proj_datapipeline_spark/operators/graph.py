@@ -109,6 +109,8 @@ def pagerank(
     validate: bool = True,
     broadcast_nodes_max: int = 1_000_000,
     checkpointer=None,
+    symmetric: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous power-iteration PageRank over a directed edge list.
 
@@ -146,6 +148,24 @@ def pagerank(
     ``checkpointer`` overrides per-round lineage truncation (default
     ``localCheckpoint``); tests pass the identity to inspect the FULL
     iteration plan and gate on its join strategies.
+
+    ``symmetric=True`` declares src-set == dst-set (every unordered
+    pair present in both orientations — the cooccurrence_pairs /
+    persisted-edge-snapshot construction). On such graphs every node
+    receives at least one contribution each round, so the per-round
+    teleport left-join back onto the node frame is an identity: ranks
+    read straight off the contribution aggregate. That removes one
+    node-frame join AND its broadcast build per round (guide §2.4 —
+    two operations keyed the same way share one pass), and the node
+    frame itself is never built (|V| and rank₀ derive from the degree
+    table the loop needs anyway). Values are bit-identical: the same
+    ``teleport + damping * m`` expression over the same m.
+
+    ``assume_distinct=True`` skips the defensive dropDuplicates on the
+    input — for callers whose edge relation is distinct by construction
+    (the persisted co-occurrence snapshot aggregates on (src, dst)), it
+    removes a full |E| shuffle before the loop (guide §2.4: a distinct
+    on data that is already unique).
     """
     # Lazy checkpoint: lineage still truncates and blocks still
     # materialize exactly once (at first use), but the 2-jobs-per-round
@@ -160,10 +180,41 @@ def pagerank(
         if checkpointer is None
         else checkpointer
     )
-    e = cut(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.dropDuplicates(["src", "dst"])
+    e = cut(e)
+    if symmetric:
+        # src-set == dst-set by declaration: the degree table IS the
+        # node frame (plus the loop's divisor), so |V| and rank₀ come
+        # off it directly — no separate distinct-nodes shuffle, no
+        # second count job.
+        deg = cut(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+        n = deg.count()
+        if n == 0:
+            return deg.select(F.col("src").alias("node"), F.lit(0.0).alias("r"))
+        small = n <= broadcast_nodes_max
+
+        def hint(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
+        ed = cut(e.join(hint(deg), "src"))
+        teleport = (1.0 - damping) / n
+        ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+        for _ in range(iterations):
+            ranks = cut(
+                ed.join(hint(ranks.select(F.col("node").alias("src"), "r")), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+                    ).alias("r"),
+                )
+            )
+        return ranks
     nodes = cut(e.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     if n == 0:

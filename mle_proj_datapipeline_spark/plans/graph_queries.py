@@ -106,8 +106,15 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = cooccurrence_pairs(li, "l_orderkey", "l_suppkey", directed=False)
+    # symmetric=True: both orientations emitted above, so the iteration
+    # drops the per-round node-frame join + broadcast build (r12 — the
+    # teleport left-join is an identity on symmetric graphs).
     ranks = pagerank(
-        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, validate=False
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        validate=False,
+        symmetric=True,
     )
     return ranks.select(
         F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pr")
@@ -372,8 +379,16 @@ def supplier_pagerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mle_proj_datapipeline_spark.operators.graph import pagerank
 
     edges = ensure_cooccurrence_edges(spark, sf_dir, "l_suppkey", "cooccur_supp")
+    # symmetric (both orientations persisted) + distinct by construction
+    # (the snapshot aggregates on (src, dst)): the serve path skips the
+    # defensive |E| dedup shuffle and the per-round node-frame join (r12).
     ranks = pagerank(
-        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, validate=False
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        validate=False,
+        symmetric=True,
+        assume_distinct=True,
     )
     return ranks.select(
         F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pr")

@@ -579,3 +579,53 @@ def test_golden_records_no_block_self_join(spark):
     # and the final composed query stays cartesian-free
     plan = plan_of(spark, "customer_golden_records")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_symmetric_arm_identical_and_leaner(spark):
+    """r12 optimization: on a symmetric edge list (both orientations
+    present) the per-round teleport left-join back onto the node frame
+    is an identity, so ``symmetric=True`` drops it — ranks must be
+    bit-identical to the default arm, and the full iteration plan (via
+    the identity checkpointer) must carry exactly one join per round
+    (edges x ranks) plus the one-time degree join, with no left joins
+    at all."""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+
+    # symmetric 4-node graph with unequal degrees (star + chord)
+    und = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    both = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(both, "src LONG, dst LONG")
+
+    base = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, iterations=3, validate=False).collect()
+    }
+    sym = pagerank(
+        edges, iterations=3, validate=False, symmetric=True,
+        checkpointer=lambda df: df,
+    )
+    assert {r["node"]: r["r"] for r in sym.collect()} == base
+
+    plan = sym._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # the teleport left-join is gone entirely...
+    assert "LeftOuter" not in plan
+    # ...and the unrolled plan carries strictly fewer joins than the
+    # default arm (2/round: deg-in-ed + ranks, vs 3/round with the
+    # nodes re-join).
+    ref = pagerank(
+        edges, iterations=3, validate=False, checkpointer=lambda df: df
+    )
+    ref.collect()  # materialize so both plans print in the same (final) form
+    ref_plan = ref._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in ref_plan  # the join the symmetric arm removes
+    assert plan.count("BroadcastHashJoin") < ref_plan.count("BroadcastHashJoin")
+
+    # assume_distinct: result-identical when the input IS distinct
+    nodup = pagerank(
+        edges, iterations=3, validate=False, symmetric=True,
+        assume_distinct=True,
+    )
+    assert {r["node"]: r["r"] for r in nodup.collect()} == base

@@ -728,3 +728,40 @@ def test_covariance_arms_agree_on_dirty_vectors(spark):
     assert set(exp) == set(grm) and len(exp) == 9
     for k in exp:
         assert abs(exp[k] - grm[k]) < 1e-9, (k, exp[k], grm[k])
+
+
+def test_cc_fast_gate_selfloops_dups_and_rescue_arm(spark):
+    """r12: both CC kernels gate first on the RAW pair count (an upper
+    bound on unique pairs) so small graphs skip the node/symmetrized-
+    edge builds entirely — the union-find consumes the raw list, where
+    self-loops keep singleton nodes in the universe and duplicates are
+    immaterial. A duplicate-heavy list that fails the fast gate must
+    still reach the driver arm through the exact unique-pair gate
+    (ADVICE r7 semantics preserved)."""
+    from mle_proj_datapipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rows = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)]  # dups + self-loop
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    want = {(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)}
+    stats: dict = {}
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components_star(pairs, stats=stats).collect()
+    }
+    assert got == want and stats["mode"] == "driver-union-find"
+    got_ml = {
+        (r["node"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    assert got_ml == want
+
+    # 10 unique pairs duplicated 3x: raw=30 fails a cap of 10, but the
+    # exact gate (unique pairs = 10 <= 10) must rescue the driver arm.
+    dup = spark.createDataFrame(
+        [(i, i + 100) for i in range(10)] * 3, "id_a long, id_b long"
+    )
+    stats2: dict = {}
+    lbl = connected_components_star(dup, stats=stats2, driver_max_edges=10).collect()
+    assert stats2["mode"] == "driver-union-find" and len(lbl) == 20
