@@ -27,7 +27,6 @@ from mle_proj_datapipeline_spark.operators.veclib import (
     ivf_probes,
     materialize,
 )
-from mle_proj_datapipeline_spark.session import ensure_parallelism
 
 
 def ivf_topk(
@@ -46,7 +45,9 @@ def ivf_topk(
     cell id — per-query work is |probed cells| not |corpus|, and the
     shuffle key is the (small-cardinality, controllably-balanced) cell
     id rather than an all-pairs cross."""
-    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
+    # r12: no repartition — cell assignment is Arrow-vectorized; the
+    # repartition is a no-op at scale and pure overhead on small inputs.
+    c = candidates.select(id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         ivf_cell(vec_col).alias("cell"),
@@ -113,7 +114,8 @@ def ivf_trained_topk(
         book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
     cell_ids = F.array(*[F.lit(c) for c in cells])
 
-    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
+    # r12: no repartition — see ivf_topk.
+    c = candidates.select(id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.element_at(cell_ids, ivf_cell(vec_col, book, round_to=round_to)).alias("cell"),

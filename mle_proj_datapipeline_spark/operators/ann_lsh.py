@@ -22,7 +22,6 @@ from mle_proj_datapipeline_spark.operators.veclib import (
     plane_bucket,
     planes_per_band_for,
 )
-from mle_proj_datapipeline_spark.session import ensure_parallelism
 
 
 def lsh_topk(
@@ -64,8 +63,10 @@ def lsh_topk(
         ).alias(f"bk{b}")
         for b in range(bands)
     ]
+    # r12: no repartition — plane_bucket is Arrow-vectorized now; the
+    # repartition is a no-op at scale and pure overhead on small inputs.
     base = materialize(
-        ensure_parallelism(one).select(
+        one.select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
         ),
         snapshot_root,
@@ -147,7 +148,7 @@ def lsh_index_build(
         ).alias(f"bk{b}")
         for b in range(bands)
     ]
-    base = ensure_parallelism(one).select(
+    base = one.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
     )
     return write_snapshot(

@@ -155,7 +155,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    # r12: tf feeds BOTH the df broadcast build and the scored join —
+    # without a cut the tokenize/explode/agg subtree executes twice in
+    # one job (guide §2.4). The cut is (doc, distinct-term)-sized.
+    tf = materialize_frame(
+        tok.groupBy("doc_id", "source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (

@@ -352,6 +352,13 @@ def weekly_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wk", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # r12: materialize cnt too — spine derives FROM cnt (via tot) and
+    # then left-joins back onto it, so without this cut the whole
+    # bucket-assign + groupBy subtree over the full wko frame planned
+    # TWICE (once under each join branch; 16 Exchanges in the before
+    # plan, the dominant cost paid double). The cut is (weeks × bucket)-
+    # sized — trivially small at any scale.
+    cnt = materialize_frame(cnt)
     # Totals and the (week × bucket) spine derive from cnt — weeks-sized
     # frames, no table access. The left join fills empty buckets.
     tot = cnt.groupBy("wk").agg(F.sum("n").alias("t"))
