@@ -45,9 +45,16 @@ def ivf_topk(
     cell id — per-query work is |probed cells| not |corpus|, and the
     shuffle key is the (small-cardinality, controllably-balanced) cell
     id rather than an all-pairs cross."""
-    # r12: no repartition — cell assignment is Arrow-vectorized; the
-    # repartition is a no-op at scale and pure overhead on small inputs.
-    c = candidates.select(id_col, vec_col).select(
+    # r12: the candidates side KEEPS ensure_parallelism (unlike the
+    # kernelized sites that dropped it): the probe join fans each
+    # candidate out by every query probing its cell, so the cosine
+    # rerank runs on the EXPLODED frame in the pre-window stage — at
+    # scan parallelism (1-2 local partitions) that stage single-threads
+    # and the measured A/B regressed 1.74→2.39 s. The repartition is
+    # still a no-op at cluster scale (inputs arrive ≥ target partitions).
+    from mle_proj_datapipeline_spark.session import ensure_parallelism
+
+    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         ivf_cell(vec_col).alias("cell"),

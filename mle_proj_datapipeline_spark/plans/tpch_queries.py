@@ -535,10 +535,21 @@ def late_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.when(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
     ).otherwise(0)
+    # r12 (guide §2.4): ONE exchange keyed on l_orderkey serves both the
+    # (l_orderkey, l_suppkey) aggregate (hashpartitioning on a subset of
+    # the grouping keys satisfies its ClusteredDistribution) and the
+    # per-order window below — the groupBy's own exchange followed by a
+    # second window exchange shuffled the per_supp frame twice. The
+    # repartition input is projected to (l_orderkey, l_suppkey, late) so
+    # the exchange carries 3 narrow columns; the lost map-side partial
+    # agg bought almost nothing here (≈1 lineitem per (order, supplier)
+    # within a map partition).
     per_supp = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("supp_late"))
+        .agg(F.max("late").alias("supp_late"))
     )
     w = Window.partitionBy("l_orderkey")
     blamed = per_supp.select(

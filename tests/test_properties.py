@@ -881,3 +881,42 @@ def test_round_half_up_kernel_matches_spark_round(spark):
         if k != j
     ]
     assert not bad, bad[:5]
+
+
+def test_simhash_numpy_kernel_bit_identical_to_hof_fold(spark):
+    """r12: the NumPy kernel that replaced the simhash vote fold (a
+    CodegenFallback HOF aggregate rebuilding a 60-wide vote array per
+    token) must be BIT-identical to the legacy JVM expression over the
+    real sf0.01 corpus plus dirty rows (null / empty / single-word
+    text) — md5 hashing itself stays in the JVM in both forms.
+
+    (The analogous minhash-signature kernel was prototyped and MEASURED
+    SLOWER — the 16-wide fold is too small to beat the Arrow boundary —
+    so minhash keeps the JVM fold; see OPTIMIZATION_r12.md.)"""
+    import pyspark.sql.functions as F
+
+    from mle_proj_datapipeline_spark.operators.simhash_ngram import (
+        _simhash_hof,
+        simhash,
+    )
+    from mle_proj_datapipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    dirty = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "one"), (900004, "a b a b a")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(dirty)
+
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", simhash("text").alias("fp")).collect()}
+    want = {r["doc_id"]: r["fp"] for r in df.select("doc_id", _simhash_hof("text").alias("fp")).collect()}
+    assert got == want, {k: (got[k], want[k]) for k in got if got[k] != want.get(k)}
+
+    # Plan shape: the fingerprint is a single ArrowEvalPython evaluation
+    # (never row-at-a-time BatchEvalPython).
+    fp = docs.select("doc_id", simhash("text").alias("fp"))
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
