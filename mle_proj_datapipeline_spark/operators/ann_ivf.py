@@ -27,6 +27,7 @@ from mle_proj_datapipeline_spark.operators.veclib import (
     ivf_probes,
     materialize,
 )
+from mle_proj_datapipeline_spark.session import ensure_parallelism
 
 
 def ivf_topk(
@@ -45,15 +46,6 @@ def ivf_topk(
     cell id — per-query work is |probed cells| not |corpus|, and the
     shuffle key is the (small-cardinality, controllably-balanced) cell
     id rather than an all-pairs cross."""
-    # r12: the candidates side KEEPS ensure_parallelism (unlike the
-    # kernelized sites that dropped it): the probe join fans each
-    # candidate out by every query probing its cell, so the cosine
-    # rerank runs on the EXPLODED frame in the pre-window stage — at
-    # scan parallelism (1-2 local partitions) that stage single-threads
-    # and the measured A/B regressed 1.74→2.39 s. The repartition is
-    # still a no-op at cluster scale (inputs arrive ≥ target partitions).
-    from mle_proj_datapipeline_spark.session import ensure_parallelism
-
     c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -121,8 +113,7 @@ def ivf_trained_topk(
         book[pos[r["cell"]]][r["i"] - 1] = float(r["m"])
     cell_ids = F.array(*[F.lit(c) for c in cells])
 
-    # r12: no repartition — see ivf_topk.
-    c = candidates.select(id_col, vec_col).select(
+    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.element_at(cell_ids, ivf_cell(vec_col, book, round_to=round_to)).alias("cell"),

@@ -22,6 +22,7 @@ from mle_proj_datapipeline_spark.operators.veclib import (
     plane_bucket,
     planes_per_band_for,
 )
+from mle_proj_datapipeline_spark.session import ensure_parallelism
 
 
 def lsh_topk(
@@ -63,10 +64,8 @@ def lsh_topk(
         ).alias(f"bk{b}")
         for b in range(bands)
     ]
-    # r12: no repartition — plane_bucket is Arrow-vectorized now; the
-    # repartition is a no-op at scale and pure overhead on small inputs.
     base = materialize(
-        one.select(
+        ensure_parallelism(one).select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
         ),
         snapshot_root,
@@ -148,7 +147,7 @@ def lsh_index_build(
         ).alias(f"bk{b}")
         for b in range(bands)
     ]
-    base = one.select(
+    base = ensure_parallelism(one).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
     )
     return write_snapshot(

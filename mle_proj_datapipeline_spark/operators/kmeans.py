@@ -58,12 +58,7 @@ def kmeans_fit(
     spark = vecs.sparkSession
 
     if broadcast_codebook:
-        # r12: no repartition — the assignment/update kernels are now
-        # Arrow-vectorized (veclib NumPy), so the tiny-input fan-out the
-        # repartition bought is pure shuffle + per-partition Python
-        # overhead; at cluster scale the input already has >= target
-        # partitions and ensure_parallelism was a no-op anyway.
-        base = vecs.select(id_col, vec_col)
+        base = ensure_parallelism(vecs.select(id_col, vec_col))
         cells = list(range(1, len(init) + 1))
         book = [list(map(float, c)) for c in init]
 

@@ -12,11 +12,11 @@ the reference's per-batch StringIndexer anti-pattern SURVEY §4.2).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from mle_proj_datapipeline_spark.operators.hashing import h31_py
+from mle_proj_datapipeline_spark.session import ensure_parallelism
 
 EMB_DIM = 64
 NUM_PLANES = 8  # 2^8 = 256 buckets (single-band legacy geometry)
@@ -33,174 +33,40 @@ def hyperplanes(num_planes: int = NUM_PLANES, dim: int = EMB_DIM) -> list[list[f
     ]
 
 
-def _col_sql(c: Column | str) -> str:
-    return c if isinstance(c, str) else c._jc.toString()
+def dot_double(a: Column, b: Column) -> Column:
+    """Ordered double-precision fold — deterministic across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
-def _dot_chain_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
-    """Left-associated dot-product chain over fixed ``dim`` positions.
-
-    Identical fold to ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` —
-    same start value, same order, same casts — but expressed as plain
-    arithmetic so it WHOLE-STAGE CODEGENS. Higher-order functions are
-    CodegenFallback in Spark: every row paid interpreted per-element
-    lambda dispatch (the r12 profile put the 2k-row kmeans update pass
-    at seconds — pure lambda overhead, not data). ``try_element_at``
-    yields NULL (→ NULL fold) for short vectors, matching zip_with's
-    NULL padding; vectors LONGER than ``dim`` would differ (prefix vs
-    NULL) but every consumer sits behind valid_embeddings' exact-length
-    filter."""
-    terms = [
-        f"(CAST(try_element_at({a}, {i}) AS DOUBLE)"
-        f" * CAST(try_element_at({b}, {i}) AS DOUBLE))"
-        for i in range(1, dim + 1)
-    ]
-    acc = "0.0D"
-    for t in terms:
-        acc = f"({acc} + {t})"
-    return acc
+def norm_double(a: Column) -> Column:
+    return F.sqrt(dot_double(a, a))
 
 
-def dot_double(a: Column | str, b: Column | str, dim: int = EMB_DIM) -> Column:
-    """Ordered double-precision fold — deterministic across engines.
-    Codegen chain over ``dim`` fixed positions (see _dot_chain_sql)."""
-    return F.expr(_dot_chain_sql(_col_sql(a), _col_sql(b), dim))
-
-
-def norm_double(a: Column | str, dim: int = EMB_DIM) -> Column:
-    return F.sqrt(dot_double(a, a, dim))
-
-
-# --------------------------------------------------------------------------
-# r12: Arrow/NumPy kernels for the per-row vector folds (guide §4.2).
-#
-# The old aggregate(zip_with(...)) HOF expressions are CodegenFallback:
-# every row paid interpreted per-element lambda dispatch (~70 ns/step ×
-# 1024 steps for an 8-centroid distance array). An unrolled arithmetic
-# chain codegens but the generated method exceeds HotSpot's
-# huge-method JIT limit, so it runs as interpreted bytecode — measured
-# 2× better at 100k rows, 4× WORSE at 2k. A vectorized NumPy kernel
-# behind a pandas_udf wins at every size: flat Arrow-boundary cost plus
-# ~µs per thousand rows.
-#
-# Exactness contract (the DuckDB oracles hash-compare these values):
-# every fold replicates the JVM expression BIT-FOR-BIT — float32→
-# float64 widening is exact, the accumulation loops run in the same
-# dim order with one IEEE-correctly-rounded add/mul per element (NumPy
-# elementwise == JVM double ops), and HALF_UP rounding goes through
-# _round_half_up (floor-shift fast path + exact-decimal suspect path
-# replicating java BigDecimal.valueOf(d).setScale(n, HALF_UP)).
-# NULL semantics match the HOF forms: invalid rows (null / wrong
-# length) yield NULL (bucket: 0 — the old IF(NULL >= 0, ..., 0) arm).
-# --------------------------------------------------------------------------
-
-
-def _np_mat(values, dim: int):
-    """(X float64 (n, dim), valid bool (n,)) from an Arrow/pandas batch
-    of float sequences. Fast path: uniform batches stack directly
-    (valid_embeddings guarantees this in query paths); ragged/null
-    batches fall back to a per-row copy."""
-    import numpy as np
-
-    n = len(values)
-    try:
-        X = np.stack([np.asarray(v) for v in values]).astype(np.float64)
-        if X.ndim == 2 and X.shape[1] == dim:
-            return X, np.ones(n, dtype=bool)
-    except (ValueError, TypeError):
-        pass
-    X = np.zeros((n, dim), dtype=np.float64)
-    valid = np.zeros(n, dtype=bool)
-    for i, v in enumerate(values):
-        if v is None:
-            continue
-        a = np.asarray(v, dtype=np.float64)
-        if a.shape == (dim,):
-            X[i] = a
-            valid[i] = True
-    return X, valid
-
-
-def _round_half_up(a, scale: int):
-    """Vectorized replica of Spark's round() on DOUBLE: HALF_UP on the
-    value's shortest decimal representation (BigDecimal.valueOf path).
-    Fast path floor-shifts in binary; values within 1e-6 (scaled) of a
-    .5 boundary — where binary and decimal rounding can disagree — take
-    the exact per-element decimal path (repr(float) is the same
-    shortest-roundtrip decimal java's Double.toString produces)."""
-    import decimal
-    import numpy as np
-
-    q = decimal.Decimal(1).scaleb(-scale)
-    s = 10.0**scale
-    scaled = a * s
-    fl = np.floor(scaled)
-    frac = scaled - fl
-    out = np.where(frac >= 0.5, fl + 1.0, fl) / s
-    suspect = np.abs(frac - 0.5) < 1e-6
-    if suspect.any():
-        idx = np.nonzero(suspect)
-        vals = [
-            float(
-                decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
-            )
-            for x in a[idx]
-        ]
-        out[idx] = vals
-    return out
-
-
-def cosine(a: Column | str, b: Column | str, dim: int = EMB_DIM) -> Column:
-    """Exact-fold cosine (dot/(|a||b|)) — NumPy kernel, bit-identical
-    to the ordered double fold (same dim-order accumulation)."""
-    import pandas as pd
-
-    @F.pandas_udf("double")
-    def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        import numpy as np
-
-        A, va = _np_mat(sa.values, dim)
-        B, vb = _np_mat(sb.values, dim)
-        n = len(sa)
-        ab = np.zeros(n)
-        aa = np.zeros(n)
-        bb = np.zeros(n)
-        for d in range(dim):
-            x, y = A[:, d], B[:, d]
-            ab = ab + x * y
-            aa = aa + x * x
-            bb = bb + y * y
-        out = pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)), dtype="Float64")
-        out[~(va & vb)] = pd.NA
-        return out
-
-    return _cos(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)
+def cosine(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (norm_double(a) * norm_double(b))
 
 
 def plane_bucket(vec: Column | str, planes: list[list[float]] | None = None) -> Column:
     """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) >= 0.
-    NumPy kernel; the per-plane dot accumulates in dim order (exact
-    fold), invalid vectors bucket to 0 (the old IF-NULL arm)."""
-    import pandas as pd
 
+    Generated as ONE parsed SQL expression instead of ~8×64 Column
+    objects — expression-tree construction over Py4J dominated wall
+    clock for wide literal trees (1.3 s → ~10 ms at dim 64 × 8 planes)."""
     planes = planes or hyperplanes()
-    p_dim = len(planes[0])
-
-    @F.pandas_udf("int")
-    def _bucket(sv: pd.Series) -> pd.Series:
-        import numpy as np
-
-        P = np.asarray(planes, dtype=np.float64)  # (k, dim)
-        X, valid = _np_mat(sv.values, p_dim)
-        acc = np.zeros((len(sv), P.shape[0]))
-        for d in range(p_dim):
-            acc = acc + X[:, d, None] * P[None, :, d]
-        weights = (1 << np.arange(P.shape[0])).astype(np.int64)
-        bits = ((acc >= 0) * weights).sum(axis=1)
-        bits[~valid] = 0
-        return pd.Series(bits.astype(np.int32))
-
-    return _bucket(F.col(vec) if isinstance(vec, str) else vec)
+    v = vec if isinstance(vec, str) else vec._jc.toString()
+    terms = []
+    for j, p in enumerate(planes):
+        lits = ", ".join(f"{x!r}D" for x in p)
+        dot = (
+            f"aggregate(zip_with({v}, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"IF({dot} >= 0, {1 << j}, 0)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 NUM_CELLS = 8
@@ -219,87 +85,39 @@ def ivf_centroids(num_cells: int = NUM_CELLS, dim: int = EMB_DIM) -> list[list[f
 
 
 def _dist_sq_sql(vec: str, centroid: list[float], round_to: int | None = None) -> str:
-    # r12: squared-L2 as a left-assoc arithmetic chain — identical fold
-    # (start 0.0, same order, same casts) to the old
-    # aggregate(zip_with(...)) HOF form, but codegen-able: HOFs are
-    # CodegenFallback, so the 8-centroid distance array paid 8×64
-    # interpreted lambda dispatches per row (and ivf_cell evaluates the
-    # array twice — whole-stage codegen CSE now dedups that for free).
-    acc = "0.0D"
-    for i, y in enumerate(centroid, start=1):
-        d = f"(CAST(try_element_at({vec}, {i}) AS DOUBLE) - {y!r}D)"
-        acc = f"({acc} + ({d} * {d}))"
-    expr = acc
+    lits = ", ".join(f"{x!r}D" for x in centroid)
+    expr = (
+        f"aggregate(zip_with({vec}, array({lits}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
     if round_to is not None:
         expr = f"round({expr}, {round_to})"
     return expr
 
 
-def _np_dists(values, centroids, round_to, dim):
-    """(D (n, k) rounded squared-L2 distances, valid mask) — exact
-    replica of the _dist_sq_sql fold: per-element accumulation in dim
-    order, HALF_UP rounding on the decimal grid."""
-    import numpy as np
-
-    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
-    X, valid = _np_mat(values, dim)
-    acc = np.zeros((len(values), C.shape[0]))
-    for d in range(dim):
-        diff = X[:, d, None] - C[None, :, d]
-        acc = acc + diff * diff
-    if round_to is not None:
-        acc = _round_half_up(acc, round_to)
-    return acc, valid
-
-
 def ivf_cell(
-    vec: Column | str,
+    vec: str,
     centroids: list[list[float]] | None = None,
     round_to: int | None = None,
 ) -> Column:
     """1-based id of the nearest centroid (L2; ties → lowest id).
     ``round_to`` rounds each distance first — pass the trainer's grid so
-    assignment matches an oracle that argmins over rounded distances.
-    NumPy kernel (argmin picks the first/lowest index on ties, exactly
-    array_position(d, array_min(d)))."""
-    import pandas as pd
-
+    assignment matches an oracle that argmins over rounded distances."""
     cs = centroids or ivf_centroids()
-    dim = len(cs[0])
-
-    @F.pandas_udf("int")
-    def _cell(sv: pd.Series) -> pd.Series:
-        import numpy as np
-
-        D, valid = _np_dists(sv.values, cs, round_to, dim)
-        out = pd.Series((np.argmin(D, axis=1) + 1).astype(np.int32), dtype="Int32")
-        out[~valid] = pd.NA
-        return out
-
-    return _cell(F.col(vec) if isinstance(vec, str) else vec)
+    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c, round_to) for c in cs) + ")"
+    return F.expr(f"array_position({d_arr}, array_min({d_arr}))").cast("int")
 
 
 def ivf_min_dist(
-    vec: Column | str,
+    vec: str,
     centroids: list[list[float]] | None = None,
     round_to: int | None = None,
 ) -> Column:
     """Squared L2 distance to the nearest centroid (the inertia term)."""
-    import pandas as pd
-
     cs = centroids or ivf_centroids()
-    dim = len(cs[0])
-
-    @F.pandas_udf("double")
-    def _mind(sv: pd.Series) -> pd.Series:
-        import numpy as np
-
-        D, valid = _np_dists(sv.values, cs, round_to, dim)
-        out = pd.Series(np.min(D, axis=1), dtype="Float64")
-        out[~valid] = pd.NA
-        return out
-
-    return _mind(F.col(vec) if isinstance(vec, str) else vec)
+    d_arr = "array(" + ", ".join(_dist_sq_sql(vec, c, round_to) for c in cs) + ")"
+    return F.expr(f"array_min({d_arr})")
 
 
 def ivf_probes(
@@ -333,8 +151,7 @@ def brute_force_topk(
     map work + a per-query top-k (TakeOrdered per group), no shuffle of
     the candidate set."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    # r12: no repartition — cosine is Arrow-vectorized (see kernels above).
-    c = candidates.select(id_col, vec_col).select(
+    c = ensure_parallelism(candidates.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (

@@ -89,6 +89,13 @@ def feature_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_quantity", "l_discount"
     )
 
+    # r12 (guide §2.4): ostats feeds BOTH the gold spine join and the
+    # global-mean imputation aggregate — without a lineage cut the
+    # orders scan + per-customer groupBy executed twice (three orders
+    # scans in the final plan). Cut once at the |customers|-sized silver
+    # aggregate; gmean then folds the checkpointed rows.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
     ostats = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
@@ -98,6 +105,7 @@ def feature_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # across engines.
         (F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1))).alias("avg_order_value"),
     )
+    ostats = materialize_frame(ostats)
     listats = (
         li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("c_custkey"))

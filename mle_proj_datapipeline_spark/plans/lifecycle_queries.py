@@ -637,23 +637,29 @@ def pr_auc_from_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
     )
+    # r12 (guide §2.4): the totals used to ride a broadcast scalar
+    # cross-join computed from a SECOND evaluation of h — the whole
+    # scan + histogram groupBy ran twice. Whole-frame window totals
+    # share the cumulative window's single sort over the tiny
+    # histogram, so the data is scanned and aggregated exactly once.
     wc = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = h.select(
         "score",
         "n_pos",
         "n_neg",
         F.sum("n_pos").over(wc).alias("ctp"),
         F.sum(F.col("n_pos") + F.col("n_neg")).over(wc).alias("call"),
-    )
-    t = h.agg(
-        F.sum("n_pos").cast("long").alias("tp_all"),
-        F.sum("n_neg").cast("long").alias("tn_all"),
+        F.sum("n_pos").over(wt).cast("long").alias("tp_all"),
+        F.sum("n_neg").over(wt).cast("long").alias("tn_all"),
     )
     term = (F.col("n_pos").cast("double") / F.col("tp_all")) * (
         F.col("ctp").cast("double") / F.col("call")
     )
     return (
-        c.crossJoin(F.broadcast(t))
+        c
         .agg(
             F.max("tp_all").alias("n_pos"),
             F.max("tn_all").alias("n_neg"),
@@ -728,13 +734,24 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("y").cast("long").alias("n_pos"),
     )
+    # r12 (guide §2.4): the (nn, np) totals rode a broadcast scalar
+    # cross-join that re-evaluated the whole scan + histogram groupBy —
+    # TWICE (decile assignment and the final gain/lift select), so the
+    # orders scan ran three times. Whole-frame window totals share the
+    # cumulative window's single sort over the tiny histogram and carry
+    # through as constant columns: one scan, one histogram, zero joins.
     wb = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, -1)
-    c = h.withColumn("cum_before", F.coalesce(F.sum("n").over(wb), F.lit(0)))
-    t = h.agg(
-        F.sum("n").cast("long").alias("nn"),
-        F.sum("n_pos").cast("long").alias("np"),
+    wt = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    d = c.crossJoin(F.broadcast(t)).select(
+    c = h.select(
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("cum_before"),
+        F.sum("n").over(wt).cast("long").alias("nn"),
+        F.sum("n_pos").over(wt).cast("long").alias("np"),
+    )
+    d = c.select(
         (
             F.least(
                 F.floor(F.col("cum_before") * 10.0 / F.col("nn")), F.lit(9)
@@ -743,13 +760,17 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decile"),
         "n",
         "n_pos",
+        "nn",
+        "np",
     )
     g = d.groupBy("decile").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("n_pos").cast("long").alias("n_pos"),
+        F.max("nn").alias("nn"),
+        F.max("np").alias("np"),
     )
     wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return g.crossJoin(F.broadcast(t)).select(
+    return g.select(
         "decile",
         "n",
         "n_pos",

@@ -480,10 +480,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: (user, week) activity pairs are pre-deduped with a
     partial-agg groupBy (shuffle carries distinct pairs, not raw
-    events); the cohort table is a per-user min re-using the same
-    user-keyed shuffle; offsets are pure arithmetic. The final distinct
-    count is exact for oracle parity — at 100 TB swap
-    approx_count_distinct exactly as the stats family documents."""
+    events); the cohort is a window min over the user-keyed pair frame
+    (one events scan — no aggregate-and-join-back, which re-evaluated
+    the scan); offsets are pure arithmetic. The final distinct count is
+    exact for oracle parity — at 100 TB swap approx_count_distinct
+    exactly as the stats family documents."""
     e = load_table(spark, sf_dir, "events")
     w = (
         e.select(
@@ -494,9 +495,17 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit(1).alias("_one"))
         .drop("_one")
     )
-    f = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    # r12 (guide §2.4): the cohort table was a per-user min AGGREGATE of
+    # the pair frame joined back on — which re-evaluated the whole
+    # scan + dedup subtree (two events scans) and paid a join. A window
+    # min over the distinct-pair frame is the same value with one
+    # evaluation: the extra exchange carries |distinct pairs|, the scan
+    # runs once, the join disappears.
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
     return (
-        w.join(f, "user_id")
+        w.withColumn("cohort", F.min("wk").over(wu))
         .select(
             "cohort",
             F.floor(

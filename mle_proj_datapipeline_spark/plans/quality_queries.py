@@ -113,10 +113,19 @@ def table_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
     aggs += [
         F.count(F.col("o_orderkey")).alias("nn_key"),
-        F.countDistinct(F.col("o_orderkey")).alias("nd_key"),
         F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpos"),
     ]
-    row = o.agg(*aggs)
+    # r12 (guide §2.2): mixing the countDistinct into the scalar agg made
+    # Spark key the WHOLE pass on o_orderkey — a full |orders| shuffle
+    # carrying eight count buffers per key. Split the distinct count to
+    # its own one-column scan (the approx_order_cardinalities twin-split,
+    # r11): the main agg is then a pure scalar partial-agg (one row per
+    # partition crosses the wire) and the distinct pass shuffles
+    # map-side-deduped keys only.
+    nd = o.select("o_orderkey").agg(
+        F.countDistinct(F.col("o_orderkey")).alias("nd_key")
+    )
+    row = o.agg(*aggs).crossJoin(F.broadcast(nd))
 
     def check(name: str, column: str, viol):  # noqa: ANN001 - Column expr
         return F.struct(
@@ -329,15 +338,23 @@ def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(yr == 1998, 1).otherwise(0).alias("b"),
     )
     c = t.groupBy("bin").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    # r12 (guide §2.4): totals used to ride a broadcast scalar cross-join
+    # that re-evaluated the scan + bin groupBy a second time. Whole-frame
+    # window totals share the cumulative window's single sort over the
+    # bounded bin spine — one scan, one shuffle, no join.
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = c.select(
         "bin",
         F.sum("na").over(wcum).alias("ca"),
         F.sum("nb").over(wcum).alias("cb"),
+        F.sum("na").over(wtot).alias("ta"),
+        F.sum("nb").over(wtot).alias("tb"),
     )
-    tot = c.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .agg(
             # try_divide: one sample empty (ta or tb = 0) makes the KS
             # CDF 0/0 — the oracle's x/0 is NULL, and ANSI `/` must not
@@ -391,7 +408,15 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fine at that cardinality; percentile_approx is the drop-in when
     even the key set is huge."""
     li = load_table(spark, sf_dir, "lineitem")
-    c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # r12 (guide §2.4): the counts relation feeds THREE consumers (the
+    # summary agg, the heavy-key filter, and the final select) — without
+    # a lineage cut the lineitem scan + groupBy executed three times.
+    # Cut once at the |distinct keys|-sized profile relation.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    c = materialize_frame(
+        li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     s = c.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("cnt").alias("max_cnt"),

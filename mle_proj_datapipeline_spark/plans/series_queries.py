@@ -197,14 +197,19 @@ def weekly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     wk = F.date_trunc("week", F.col("o_orderdate"))
-    weekly = o.groupBy(wk.alias("wk")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    # r12 (guide §2.4): bounds used to re-scan orders (min/max of the raw
+    # dates) — a second full pass. date_trunc is monotonic, so
+    # min/max(trunc(d)) == trunc(min/max(d)): read the bounds off the
+    # |weeks|-sized aggregate instead, cut once, scan orders exactly once.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    weekly = materialize_frame(
+        o.groupBy(wk.alias("wk")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )
-    bounds = o.agg(
-        F.date_trunc("week", F.min("o_orderdate")).alias("lo"),
-        F.date_trunc("week", F.max("o_orderdate")).alias("hi"),
-    )
+    bounds = weekly.agg(F.min("wk").alias("lo"), F.max("wk").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 7 days"))).alias("wk")
     )

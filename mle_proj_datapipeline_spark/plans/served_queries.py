@@ -138,7 +138,14 @@ def cm_heavy_hitters_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    top10 = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(10)
+    # r12 (guide §2.4): top10 feeds both the sketch point-queries and the
+    # exact-count join — without a lineage cut the orders scan + groupBy
+    # + top-k ran twice. Cut at the 10-row frame.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    top10 = materialize_frame(
+        counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(10)
+    )
     return (
         sketch.cm_estimate(cells, top10)
         .join(F.broadcast(top10), "key")

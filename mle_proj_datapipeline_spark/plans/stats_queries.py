@@ -190,11 +190,18 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
         )
     )
+    # r12 (guide §2.4): the prior used to be a separate aggregate of the
+    # category-stats subtree — re-evaluating its scan + groupBy — and
+    # attached via a second broadcast (cross) join. A whole-frame window
+    # over the ≤5-row stats frame carries the prior on the SAME broadcast
+    # row instead: orders is scanned twice (stats + row stream), not
+    # three times, and one join disappears.
     g = o.groupBy("o_orderpriority").agg(
         F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    pri = g.agg(
-        (F.sum("s").cast("double") / F.sum("n")).alias("prior")
+    wall = Window.partitionBy()  # ≤5-row category frame, never data-sized
+    g = g.withColumn(
+        "prior", F.sum("s").over(wall).cast("double") / F.sum("n").over(wall)
     )
     loo = F.when(
         F.col("n") > 1,
@@ -205,7 +212,6 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / ((F.col("n") - 1) + _TE_PRIOR_M)
     return (
         o.join(F.broadcast(g), "o_orderpriority")
-        .crossJoin(F.broadcast(pri))
         .select(
             "o_orderkey",
             F.round(loo, 6).alias("loo_te"),

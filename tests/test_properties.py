@@ -767,122 +767,6 @@ def test_cc_fast_gate_selfloops_dups_and_rescue_arm(spark):
     assert stats2["mode"] == "driver-union-find" and len(lbl) == 20
 
 
-def test_numpy_vector_kernels_bit_identical_to_hof_folds(spark):
-    """r12: the Arrow/NumPy kernels that replaced the aggregate(zip_with)
-    HOF folds (veclib cosine / plane_bucket / ivf_cell / ivf_min_dist)
-    must be BIT-identical to the old JVM expressions — same ordered
-    fold, same HALF_UP rounding — over the real embeddings plus dirty
-    rows (null / short vectors)."""
-    import pyspark.sql.functions as F
-
-    import mle_proj_datapipeline_spark.operators.veclib as vl
-    from mle_proj_datapipeline_spark.sources.catalog import load_table
-
-    def old_dist(vec, c, rt):
-        lits = ", ".join(f"{x!r}D" for x in c)
-        e = (
-            f"aggregate(zip_with({vec}, array({lits}), "
-            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-        return f"round({e}, {rt})" if rt is not None else e
-
-    def old_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def old_cos(a, b):
-        def nrm(v):
-            return F.sqrt(old_dot(v, v))
-
-        return old_dot(a, b) / (nrm(a) * nrm(b))
-
-    def old_bucket(v, planes):
-        terms = []
-        for j, p in enumerate(planes):
-            lits = ", ".join(f"{x!r}D" for x in p)
-            dot = (
-                f"aggregate(zip_with({v}, array({lits}), "
-                "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
-            )
-            terms.append(f"IF({dot} >= 0, {1 << j}, 0)")
-        return F.expr("(" + " + ".join(terms) + ")")
-
-    book = vl.ivf_centroids()
-    planes = vl.hyperplanes()
-    d_old = "array(" + ", ".join(old_dist("embedding", c, 6) for c in book) + ")"
-
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-    dirty = spark.createDataFrame(
-        [(90001, None), (90002, [0.5, -0.25]), (90003, [0.0] * 64)],
-        "vec_id long, embedding array<float>",
-    )
-    df = emb.select("vec_id", "embedding").unionByName(dirty)
-
-    # cosine compares on CONTRACT rows only (dim-64, nonzero): under
-    # ANSI the OLD expression raises DIVIDE_BY_ZERO on a zero vector
-    # (query paths filter those via valid_embeddings); and on two
-    # same-length SHORT vectors the old zip_with still folds (no
-    # padding) while the fixed-dim kernel declares them invalid → NULL
-    # — both off-contract, the kernel's NULL is the declared behavior.
-    nz = (F.size("embedding") == 64) & F.exists(
-        "embedding", lambda x: x != F.lit(0.0)
-    )
-    cs_new = F.when(nz, vl.cosine(F.col("embedding"), F.col("embedding")))
-    cs_old = F.when(nz, old_cos(F.col("embedding"), F.col("embedding")))
-    got = df.select(
-        "vec_id",
-        vl.ivf_cell("embedding", book, round_to=6).alias("cell"),
-        vl.ivf_min_dist("embedding", book, round_to=6).alias("md"),
-        vl.plane_bucket(F.col("embedding"), planes).alias("bk"),
-        cs_new.alias("cs"),
-    )
-    want = df.select(
-        "vec_id",
-        F.expr(f"array_position({d_old}, array_min({d_old}))").cast("int").alias("cell"),
-        F.expr(f"array_min({d_old})").alias("md"),
-        old_bucket("embedding", planes).alias("bk"),
-        cs_old.alias("cs"),
-    )
-    g = {r["vec_id"]: (r["cell"], r["md"], r["bk"], r["cs"]) for r in got.collect()}
-    w = {r["vec_id"]: (r["cell"], r["md"], r["bk"], r["cs"]) for r in want.collect()}
-    assert set(g) == set(w)
-    mism = {k: (g[k], w[k]) for k in w if g[k] != w[k]}
-    assert not mism, dict(list(mism.items())[:5])
-
-
-def test_round_half_up_kernel_matches_spark_round(spark):
-    """r12: _round_half_up (the NumPy replica of Spark round() on
-    DOUBLE, incl. the exact-decimal suspect path at .5 boundaries) must
-    agree with F.round elementwise on random and boundary-crafted
-    values."""
-    import numpy as np
-    import pyspark.sql.functions as F
-
-    from mle_proj_datapipeline_spark.operators.veclib import _round_half_up
-
-    rng = np.random.RandomState(7)
-    vals = list(rng.uniform(0, 300, 2000))
-    # boundary-crafted: k/1e6 grids, exact .5 midpoints, FP-noisy mids
-    vals += [i / 1e6 + 5e-7 for i in range(0, 4000, 7)]
-    vals += [i / 1e6 + 5e-7 + 1e-13 for i in range(0, 4000, 11)]
-    vals += [i / 1e6 + 5e-7 - 1e-13 for i in range(0, 4000, 13)]
-    vals += [12.3456785, 0.0000005, 1.0000005, 99.9999995]
-    arr = np.array(vals, dtype=np.float64)
-    kern = _round_half_up(arr, 6)
-    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
-    jvm = [r["r"] for r in df.select(F.round("v", 6).alias("r")).collect()]
-    bad = [
-        (v, k, j)
-        for v, k, j in zip(vals, kern, jvm)
-        if k != j
-    ]
-    assert not bad, bad[:5]
-
-
 def test_simhash_numpy_kernel_bit_identical_to_hof_fold(spark):
     """r12: the NumPy kernel that replaced the simhash vote fold (a
     CodegenFallback HOF aggregate rebuilding a 60-wide vote array per
