@@ -40,11 +40,24 @@ def psi(
     """One-row DataFrame (psi DOUBLE). Breakpoints come from ``expected``
     (the reference semantics)."""
     qs = [i / buckets for i in range(1, buckets)]
-    bps = expected.agg(
-        F.transform(
-            F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])),
-            lambda b: F.round(b, 6),
-        ).alias("bps")
+    # r12 (guide §2.4): the breakpoint row is consumed by BOTH bucket
+    # passes — uncut, the expected-side percentile scan ran twice; and
+    # the totals were eager driver counts, each a THIRD/SECOND full
+    # evaluation of its input subtree. Cut the 1-row breakpoint frame
+    # once; fold totals as whole-frame window sums over the ≤(buckets+1)-
+    # row bucket frame (every row — NULLs land in bucket 0 — is counted
+    # in exactly one bucket, so sum(cnt) == count(*)). Each input is now
+    # evaluated once per pass it genuinely needs: expected twice
+    # (holistic percentile + bucketing), actual once.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    bps = materialize_frame(
+        expected.agg(
+            F.transform(
+                F.percentile(F.col(col), F.array(*[F.lit(q) for q in qs])),
+                lambda b: F.round(b, 6),
+            ).alias("bps")
+        )
     )
 
     def frac_by_bucket(df: DataFrame, name: str) -> DataFrame:
@@ -57,14 +70,21 @@ def psi(
 
     e = frac_by_bucket(expected, "e")
     a = frac_by_bucket(actual, "a")
-    e_tot = expected.count()
-    a_tot = actual.count()
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
     joined = (
         e.join(a, "bucket", "full")
         .select(
             "bucket",
-            (F.coalesce(F.col("e_cnt"), F.lit(0)) / F.lit(e_tot)).alias("e_frac"),
-            (F.coalesce(F.col("a_cnt"), F.lit(0)) / F.lit(a_tot)).alias("a_frac"),
+            (
+                F.coalesce(F.col("e_cnt"), F.lit(0))
+                / F.sum("e_cnt").over(wall)
+            ).alias("e_frac"),
+            (
+                F.coalesce(F.col("a_cnt"), F.lit(0))
+                / F.sum("a_cnt").over(wall)
+            ).alias("a_frac"),
         )
         .select(
             F.greatest(F.col("e_frac"), F.lit(EPS)).alias("e_frac"),

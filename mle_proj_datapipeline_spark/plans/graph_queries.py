@@ -166,11 +166,22 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .dropDuplicates()
     )
-    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    kept = li.groupBy("l_orderkey").agg(
-        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, MAX_COOCCUR_SET).alias("ss")
+    # r12 (guide §2.4): the scalar n_orders, the two item-count sides,
+    # and the basket build each re-evaluated the lineitem scan + dedup —
+    # four evaluations of the same subtree. Cut once at the per-order
+    # basket frame; n_orders is then count(key) over it (kept has one
+    # row per distinct l_orderkey; count(col) skips a NULL group exactly
+    # as countDistinct did), and the tiny item frame is cut so its two
+    # broadcast sides share one evaluation.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    kept = materialize_frame(
+        li.groupBy("l_orderkey").agg(
+            F.slice(F.sort_array(F.collect_set("l_partkey")), 1, MAX_COOCCUR_SET).alias("ss")
+        )
     )
-    item = (
+    n = kept.agg(F.count("l_orderkey").alias("n_orders"))
+    item = materialize_frame(
         kept.select(F.explode("ss").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("ci"))

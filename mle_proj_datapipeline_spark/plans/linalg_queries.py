@@ -236,13 +236,21 @@ def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
     )
-    g = x.groupBy("label", "dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("v") / F.count(F.lit(1))).alias("m"),
-        (
-            F.sum(F.col("v") * F.col("v")) / F.count(F.lit(1))
-            - (F.sum("v") / F.count(F.lit(1))) * (F.sum("v") / F.count(F.lit(1)))
-        ).alias("var"),
+    # r12 (guide §2.4): the label-level moment frame feeds both the
+    # global roll-up and the final join — uncut, the explode + groupBy
+    # over the whole embedding corpus ran twice. Cut at the
+    # (labels×dims)-sized frame.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    g = materialize_frame(
+        x.groupBy("label", "dim").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v") / F.count(F.lit(1))).alias("m"),
+            (
+                F.sum(F.col("v") * F.col("v")) / F.count(F.lit(1))
+                - (F.sum("v") / F.count(F.lit(1))) * (F.sum("v") / F.count(F.lit(1)))
+            ).alias("var"),
+        )
     )
     a = g.groupBy("dim").agg(
         (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),

@@ -36,12 +36,18 @@ def balanced_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster layouts (no RNG, no floats anywhere); per-source rates are
     a 5-row broadcast. The same shape implements any target mixture by
     replacing n_min with per-source target counts."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
+    # r12 (guide §2.4): the rarest-source size was a separate aggregate
+    # OF the per-source counts — re-evaluating the docs scan + groupBy —
+    # attached by a second broadcast join. A window min over the ≤5-row
+    # counts frame rides the same broadcast row: one scan for the
+    # counts, one for the row stream.
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    m = counts.agg(F.min("n").alias("m"))
+    counts = counts.withColumn("m", F.min("n").over(Window.partitionBy()))
     return (
         docs.join(F.broadcast(counts), "source")
-        .crossJoin(F.broadcast(m))
         .filter(dd.h31(F.col("doc_id").cast("string")) % F.col("n") < F.col("m"))
         .select("doc_id", "source")
     )
@@ -396,10 +402,17 @@ def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("bigint").alias("n_tokens"),
         )
     )
-    totals = src.agg(
-        F.sum(F.sqrt("n_tokens")).alias("z"), F.sum("n_tokens").alias("tot")
+    # r12 (guide §2.4): the normalizers were a separate aggregate of the
+    # per-source frame — re-running the tokenize + groupBy subtree — and
+    # a broadcast cross-join. Whole-frame window sums over the ≤5-row
+    # source frame: the corpus is genuinely scanned once now.
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    src = src.withColumn("z", F.sum(F.sqrt("n_tokens")).over(wall)).withColumn(
+        "tot", F.sum("n_tokens").over(wall)
     )
-    return src.crossJoin(F.broadcast(totals)).select(
+    return src.select(
         "source",
         "n_docs",
         "n_tokens",

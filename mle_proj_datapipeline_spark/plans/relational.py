@@ -439,18 +439,31 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def active_party_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intersect / except / union-distinct in one result."""
+    # r12 (guide §2.4): the three set operations each re-scanned both
+    # tables (six scans, three distinct-shuffles per side). One distinct
+    # per side + one null-safe full-outer join answers all three counts
+    # in a single pass: intersect = matched rows, except = left-only
+    # rows, union-distinct = all rows (set ops treat NULL keys as equal,
+    # which eqNullSafe preserves).
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    both = c.intersect(s).agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("side"), "n")
-    c_only = (
-        c.subtract(s).agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("customer_only").alias("side"), "n")
+    dc = c.distinct().select(F.col("k").alias("ck"), F.lit(1).alias("in_c"))
+    ds = s.distinct().select(F.col("k").alias("sk"), F.lit(1).alias("in_s"))
+    j = dc.join(ds, F.col("ck").eqNullSafe(F.col("sk")), "full")
+    row = j.agg(
+        F.count_if(F.col("in_c").isNotNull() & F.col("in_s").isNotNull()).alias("b"),
+        F.count_if(F.col("in_c").isNotNull() & F.col("in_s").isNull()).alias("co"),
+        F.count(F.lit(1)).alias("u"),
     )
-    uni = (
-        c.union(s).distinct().agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("union_distinct").alias("side"), "n")
-    )
-    return both.unionByName(c_only).unionByName(uni)
+    return row.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("both").alias("side"), F.col("b").alias("n")),
+                F.struct(F.lit("customer_only").alias("side"), F.col("co").alias("n")),
+                F.struct(F.lit("union_distinct").alias("side"), F.col("u").alias("n")),
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 # --------------------------------------------------------------------------

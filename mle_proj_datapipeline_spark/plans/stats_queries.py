@@ -366,10 +366,17 @@ def cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
-    u = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("x"),
-        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
-    ).withColumn("grp", h31(F.col("user_id").cast("string")) % 2)
+    # r12 (guide §2.4): the per-user frame feeds both the moment
+    # aggregate and the adjusted-metric pass — uncut, the events scan +
+    # groupBy ran twice. Cut once at the |users|-sized frame.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    u = materialize_frame(
+        ev.groupBy("user_id").agg(
+            F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
+        ).withColumn("grp", h31(F.col("user_id").cast("string")) % 2)
+    )
     cnt = F.count(F.lit(1))
     m = u.agg(
         cnt.alias("n"),
@@ -479,7 +486,10 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ev").cast("bigint").alias("d"),
         (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c"),
     )
-    total = grp.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    # r12 (guide §2.4): n_total used to be a separate aggregate of the
+    # gap spine, re-evaluating the orders scan + lead-window + groupBy a
+    # second time, attached by a broadcast cross-join. A whole-frame
+    # window sum shares the curve's single sort over the tiny spine.
     wt = Window.orderBy("t")
     prior = F.coalesce(
         F.sum(F.col("d") + F.col("c")).over(
@@ -487,9 +497,10 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    risk = grp.crossJoin(F.broadcast(total)).withColumn(
-        "n_at_risk", (F.col("n_total") - prior).cast("bigint")
+    n_total = F.sum(F.col("d") + F.col("c")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    risk = grp.withColumn("n_at_risk", (n_total - prior).cast("bigint"))
     km = risk.withColumn(
         "s",
         F.exp(

@@ -319,8 +319,15 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast join against the 1-row global aggregate (testdata has no
     partsupp, so concentration is lineitem value per part)."""
     li = load_table(spark, sf_dir, "lineitem")
-    pv = li.groupBy("l_partkey").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    # r12 (guide §2.4): the threshold is an aggregate OF the per-part
+    # values — uncut, the lineitem scan + groupBy ran twice. Cut at the
+    # |parts|-sized frame.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    pv = materialize_frame(
+        li.groupBy("l_partkey").agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+        )
     )
     # Threshold is 1.5x the MEAN part value (i.e. fraction 1.5/|parts|
     # of the total): a fixed global fraction goes empty as |parts|
@@ -399,7 +406,15 @@ def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_revenue()), 4).alias("total_revenue"))
+    # r12 (guide §2.4): the max is an aggregate OF the per-supplier
+    # revenues — uncut, the filtered lineitem scan + groupBy ran twice.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    rev = materialize_frame(
+        li.groupBy("l_suppkey").agg(
+            F.round(F.sum(_revenue()), 4).alias("total_revenue")
+        )
+    )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -908,6 +923,11 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("shipped_qty"))
     )
+    # r12 (guide §2.4): the threshold is an aggregate OF the per-supplier
+    # volumes — uncut, the lineitem⨝part scan + groupBy ran twice.
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
+    vol = materialize_frame(vol)
     thr = vol.agg(F.round(F.avg("shipped_qty") * 1.5, 6).alias("t"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")

@@ -35,10 +35,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - keep auditing the rest
             print(f"ERR {name} {type(exc).__name__}: {exc}", flush=True)
             continue
-        locs = Counter(
-            re.findall(r"Location: \w+ \[([^\]]*)\]", plan)
-            + re.findall(r"FileScan \w+ \[[^\]]*\] .*?Location: \w+ \[([^\]]*)\]", "")
-        )
+        # toString() prints "Location: InMemoryFileIndex(1 paths)[file:/...]"
+        # while explain("formatted") prints "Location: InMemoryFileIndex [..]"
+        locs = Counter(re.findall(r"Location: \w+[^\[]*\[([^\],]*)", plan))
         dups = {loc: n for loc, n in locs.items() if n > 1}
         if dups:
             flagged += 1

@@ -32,6 +32,9 @@ def main() -> None:
         "supplier_triangles",
         "approx_order_cardinalities",
     ]
+    # Explicitly-named queries outside the headline set are honored too
+    # (any registered query can be a r12 optimization target).
+    names += [n for n in only if n in qs and n not in names]
     names = [n for n in names if n in qs and (not only or n in only)]
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
