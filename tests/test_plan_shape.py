@@ -420,14 +420,22 @@ def test_target_encode_no_row_shuffle(spark):
     """target_encode_priority: category stats and the prior must attach
     by BROADCAST join — the row stream itself never shuffles (a window
     over a 5-value category would concentrate rows into <=5 partitions;
-    an unpartitioned prior window into ONE)."""
+    an unpartitioned prior window into ONE). Since r12 the prior rides a
+    whole-frame window over the <=5-row category-stats frame (broadcast
+    side), so a Window IS allowed there — but never over the row stream
+    (its input must not carry o_orderkey)."""
+    import re
+
     plan = plan_of(spark, "target_encode_priority")
     assert "BroadcastHashJoin" in plan, plan
-    assert "Window" not in plan, plan
     # the only hash exchanges allowed are the tiny category aggregations
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "o_orderkey" not in line, f"row stream shuffled:\n{plan}"
+    # any Window node must consume the category frame, not order rows
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Window"):
+            assert "o_orderkey" not in block, f"window over row stream:\n{plan}"
 
 
 def test_feature_hashing_single_aggregation_shuffle(spark):
