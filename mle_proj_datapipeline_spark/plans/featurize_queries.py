@@ -271,28 +271,26 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     First-occurrence doc per term comes from ONE groupBy (min doc_id)
     over the exploded stream; checkpoint roll-ups are cumulative sums
     over the checkpoint spine joined against vocabulary-sized frames —
-    never a per-checkpoint rescan of the corpus."""
+    never a per-checkpoint rescan of the corpus.
+
+    r12 (guide §2.4): per-doc token counts never needed the explode —
+    count(exploded split) per doc == size(split), so the bucket totals
+    come straight off a map-side-combined groupBy of the docs frame
+    (null text: explode contributed no row, size() yields NULL, and
+    sum() skips it — identical bucket totals either way). And since
+    every doc lands in exactly one bucket, that aggregate's key set IS
+    the checkpoint spine — the third docs scan (distinct ck) is gone.
+    documents scans 3 → 2, corpus-wide explodes 2 → 1."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     first_seen = tok.groupBy("term").agg(F.min("doc_id").alias("fd"))
-    doc_tokens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
-    ck = (
-        docs.select(
+    spine = (
+        docs.groupBy(
             ((F.floor(F.col("doc_id") / _HEAPS_STEP) + 1) * _HEAPS_STEP)
             .cast("bigint")
             .alias("ck")
         )
-        .distinct()
-    )
-    tok_part = (
-        doc_tokens.select(
-            ((F.floor(F.col("doc_id") / _HEAPS_STEP) + 1) * _HEAPS_STEP)
-            .cast("bigint")
-            .alias("b"),
-            "nt",
-        )
-        .groupBy("b")
-        .agg(F.sum("nt").alias("bt"))
+        .agg(F.sum(F.size(F.split("text", " "))).alias("bt"))
     )
     voc_part = (
         first_seen.select(
@@ -303,13 +301,11 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("bv"))
     )
-    # Cumulate ON the checkpoint spine (a bucket with no new terms or no
-    # docs would otherwise leave a hole in a per-bucket running sum).
+    # Cumulate ON the checkpoint spine (a bucket with no new terms
+    # would otherwise leave a hole in a per-bucket running sum).
     w = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        ck.join(tok_part, ck.ck == tok_part.b, "left")
-        .drop("b")
-        .join(voc_part, ck.ck == voc_part.b, "left")
+        spine.join(voc_part, spine.ck == voc_part.b, "left")
         .drop("b")
         .select(
             "ck",

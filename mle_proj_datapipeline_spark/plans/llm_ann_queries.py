@@ -169,15 +169,31 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid is NEVER re-assembled into an array, so no collect_list
     ordering hazards and no wide rows through the shuffle; the final
     cosine folds over a (labels × 64)-row frame joined to a 64-row
-    broadcast global centroid."""
+    broadcast global centroid.
+
+    r12 (guide §2.4): the global centroid used to be a SECOND aggregate
+    of the exploded corpus — the scan + posexplode + shuffle ran twice.
+    The per-(label, dim) frame carries exact sums (m = s/n is the same
+    division Avg performs internally, bit-identical), so gm folds from
+    the (labels × 64)-row cut frame instead: Σs/Σn per dim. The
+    re-association only perturbs the double sum at ULP scale — far
+    below the 4dp output grid, and smaller than the engine-vs-oracle
+    accumulation-order difference the contract already tolerates
+    (verified row-identical vs the oracle at sf0.001/sf0.01)."""
+    from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
+
     emb = _vl.valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     e = emb.select(
         "label", F.posexplode("embedding").alias("i0", "v0")
     ).select("label", (F.col("i0") + 1).alias("i"), F.col("v0").cast("double").alias("v"))
-    c = e.groupBy("label", "i").agg(
-        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    c = materialize_frame(
+        e.groupBy("label", "i").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+    ).select(
+        "label", "i", (F.col("s") / F.col("n")).alias("m"), "n", "s"
     )
-    g = e.groupBy("i").agg(F.avg("v").alias("gm"))
+    g = c.groupBy("i").agg((F.sum("s") / F.sum("n")).alias("gm"))
     dots = (
         c.join(F.broadcast(g), "i")
         .groupBy("label")
