@@ -122,6 +122,67 @@ def _coverage_order(names: list[str]) -> list[str]:
 
     module_mtime: dict[str, float] = {}
     module_deps: dict[str, list[str]] = {}
+    blame_times: dict[str, list[float]] = {}
+
+    def _blame_line_times(path: str) -> list[float]:
+        """Per-line last-change committer times for ``path`` (git blame,
+        first-parent), used by the per-QUERY tie-break clock below.
+        Uncommitted working-tree lines blame to the zero commit, whose
+        committer-time git reports as "now" — exactly right (an edited
+        query is maximally unverified).  One subprocess per plan module,
+        cached; [] on any failure (tie-break then falls back to the
+        module clock)."""
+        import subprocess
+
+        if path in blame_times:
+            return blame_times[path]
+        times: list[float] = []
+        try:
+            out = subprocess.run(
+                [
+                    "git",
+                    "-C",
+                    _REPO_DIR,
+                    "blame",
+                    "--first-parent",
+                    "--porcelain",
+                    "--",
+                    path,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=60,
+            ).stdout
+            # Porcelain: every content line (TAB-prefixed) is preceded
+            # by its own "<sha> <orig> <final> [groupsize]" header;
+            # commit metadata (committer-time …) follows only the FIRST
+            # header mentioning that sha, so remember times per sha.
+            sha_time: dict[str, float] = {}
+            cur_sha = ""
+            cur_final = 0
+            for line in out.splitlines():
+                parts = line.split()
+                if (
+                    not line.startswith("\t")
+                    and len(parts) in (3, 4)
+                    and len(parts[0]) == 40
+                    and all(c in "0123456789abcdef" for c in parts[0])
+                    and parts[1].isdigit()
+                    and parts[2].isdigit()
+                ):
+                    cur_sha = parts[0]
+                    cur_final = int(parts[2])
+                elif line.startswith("committer-time ") and cur_sha:
+                    sha_time[cur_sha] = float(parts[1])
+                elif line.startswith("\t") and cur_final:
+                    while len(times) < cur_final:
+                        times.append(0.0)
+                    times[cur_final - 1] = sha_time.get(cur_sha, 0.0)
+                    cur_final = 0
+        except (OSError, ValueError, subprocess.SubprocessError):
+            return blame_times.setdefault(path, [])
+        blame_times[path] = times
+        return times
 
     def _dep_files(path: str) -> list[str]:
         """The freshness clock for a query is the newest commit among
@@ -170,16 +231,62 @@ def _coverage_order(names: list[str]) -> list[str]:
         module_deps[path] = deps
         return deps
 
+    file_time: dict[str, float] = {}
+
+    def _file_time(path: str) -> float:
+        if path not in file_time:
+            file_time[path] = _git_mtime(path, first_parent=True)
+        return file_time[path]
+
     def impl_mtime(name: str) -> float:
         mod = sys.modules.get(getattr(QUERIES[name], "__module__", ""), None)
         path = getattr(mod, "__file__", None)
         if not path:
             return 0.0
         if path not in module_mtime:
-            module_mtime[path] = max(
-                _git_mtime(p, first_parent=True) for p in _dep_files(path)
-            )
+            module_mtime[path] = max(_file_time(p) for p in _dep_files(path))
         return module_mtime[path]
+
+    span_time: dict[str, float] = {}
+
+    def query_change_time(name: str) -> float:
+        """Tie-break clock: when did THIS query last change.  Max of
+        (a) the git-blame span time of its registered function
+        (decorators included, so an edited oracle literal counts) and
+        (b) the module clock of every package-internal file the plan
+        module imports EXCLUDING the plan module itself (an operator
+        edit re-stales its consumers).  The plan module's own
+        whole-file clock is deliberately left out: with it, one edited
+        query dragged all ~20 same-module neighbours up the order and
+        they flooded the driver's ~50-row cap ahead of queries that
+        actually changed (r12: 18 of the 32 changed queries missed the
+        rotation).  Falls back to the module clock when blame is
+        unavailable.  Freshness CLASSIFICATION (above) keeps the
+        conservative whole-module dep clock — this only orders the
+        already-stale."""
+        if name in span_time:
+            return span_time[name]
+        import inspect
+
+        fn = QUERIES[name]
+        mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+        path = getattr(mod, "__file__", None)
+        t = 0.0
+        if path:
+            try:
+                lines, start = inspect.getsourcelines(fn)
+                lt = _blame_line_times(path)
+                t = max(lt[start - 1 : start - 1 + len(lines)], default=0.0)
+            except (OSError, TypeError):
+                t = 0.0
+            if t <= 0.0:
+                t = impl_mtime(name)
+            else:
+                for p in _dep_files(path):
+                    if p != path:
+                        t = max(t, _file_time(p))
+        span_time[name] = t
+        return t
 
     fresh: dict[str, int] = {n: 0 for n in names}
     total: dict[str, int] = {n: 0 for n in names}
@@ -205,7 +312,20 @@ def _coverage_order(names: list[str]) -> list[str]:
             if row_time >= impl_mtime(name):
                 fresh[name] += 1
     index = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (fresh[n], total[n], index[n]))
+    # Among equally-fresh queries, most-recently-CHANGED first (r13):
+    # every green row of a fresh==0 query predates its implementation,
+    # so historical row count is not evidence about the current code —
+    # but a query whose code changed last round is the likeliest to
+    # harbor an unverified regression, while one whose code froze many
+    # rounds ago has at least survived every intervening full-registry
+    # parity suite. With >cap stale queries (107 of 165 after round
+    # 12's 32-query optimization sweep), the old (total, index)
+    # tie-break spent the cap on long-frozen never-rechecked names and
+    # left the round's actual changes unverified for another round.
+    return sorted(
+        names,
+        key=lambda n: (fresh[n], -query_change_time(n), total[n], index[n]),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
