@@ -194,8 +194,21 @@ def bpe_learn(
     applied per corpus pass (see ``select_merge_batch`` — the output is
     bit-identical to the ``batch=1`` sequential loop, which the DuckDB
     oracle unrolls), cutting the count-shuffle + rewrite passes ~k×."""
+    from mle_proj_datapipeline_spark.session import ensure_parallelism
+
     spark = docs.sparkSession
-    corpus = docs.select(encode_tokens(text_col, max_chars).alias("s")).localCheckpoint()
+    # The corpus pass is re-run every count batch (explode of ~|chars|
+    # adjacent pairs per doc + partial agg) and inherits the SCAN's
+    # partitioning through the checkpoint — a single-file local corpus
+    # would pin every BPE pass to one core (the symspell §2.6 lesson;
+    # the driver's 8-vs-32-core ratio for bpe_merge_table read 0.89,
+    # i.e. serial). Round-robin the raw ids/text BEFORE the encode so
+    # the checkpointed stream is spread; no-op at cluster scale.
+    corpus = (
+        ensure_parallelism(docs.select(text_col))
+        .select(encode_tokens(text_col, max_chars).alias("s"))
+        .localCheckpoint()
+    )
     merges: list[tuple[int, str, str, int]] = []
     compounds: set[str] = set()
     top_m = max(64, 8 * batch)

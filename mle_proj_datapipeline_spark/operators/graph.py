@@ -158,7 +158,13 @@ def pagerank(
     node-frame join AND its broadcast build per round (guide §2.4 —
     two operations keyed the same way share one pass), and the node
     frame itself is never built (|V| and rank₀ derive from the degree
-    table the loop needs anyway). Values are bit-identical: the same
+    table). r13: the degree table is never joined onto the edges
+    either — deg rides the rank frame and is re-derived inside each
+    round's aggregate (in-degree == out-degree == count(1) on a
+    symmetric distinct edge list), so the only |E|-sized work left per
+    round is the one broadcast-hash contribution join + one
+    partial-aggregated shuffle, and the edge list is cached once as
+    bare (src, dst). Values are bit-identical: the same
     ``teleport + damping * m`` expression over the same m.
 
     ``assume_distinct=True`` skips the defensive dropDuplicates on the
@@ -182,7 +188,14 @@ def pagerank(
     )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
-        e = e.dropDuplicates(["src", "dst"])
+        # One |E| exchange serves three consumers (guide §2.4): hash
+        # partitioning on src colocates every (src, dst) duplicate (src
+        # is a subset of the dedup key, so the ClusteredDistribution is
+        # satisfied), and the SAME partitioning then feeds the degree
+        # groupBy("src") — and, on the default arm, the distinct-nodes
+        # pass — with no further shuffle. The old plan exchanged |E| on
+        # (src, dst) for the dedup and AGAIN on src for the degree.
+        e = e.repartition("src").dropDuplicates(["src", "dst"])
     e = cut(e)
     if symmetric:
         # src-set == dst-set by declaration: the degree table IS the
@@ -198,23 +211,43 @@ def pagerank(
         def hint(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if small else df
 
-        ed = cut(e.join(hint(deg), "src"))
         teleport = (1.0 - damping) / n
-        ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+        # r13: deg RIDES THE RANK FRAME — (node, r, deg) — so the edge
+        # list joins nothing but the tiny broadcast rank frame: the
+        # pre-loop |E|-row degree join and its separate 3-column cached
+        # edge copy are gone (guide §2.4). Each round broadcasts the
+        # per-source weight w = r/deg (the identical IEEE division,
+        # computed once per node instead of once per edge row — the
+        # summed terms and their partial-agg order are unchanged, so
+        # ranks stay bit-identical) and re-derives deg inside the SAME
+        # aggregate: on a symmetric distinct edge list in-degree ==
+        # out-degree, so count(1) over incoming edges IS the degree.
+        ranks = deg.select(
+            F.col("src").alias("node"), F.lit(1.0 / n).alias("r"), "deg"
+        )
         for _ in range(iterations):
             ranks = cut(
-                ed.join(hint(ranks.select(F.col("node").alias("src"), "r")), "src")
+                e.join(
+                    hint(
+                        ranks.select(
+                            F.col("node").alias("src"),
+                            (F.col("r") / F.col("deg")).alias("w"),
+                        )
+                    ),
+                    "src",
+                )
                 .groupBy("dst")
-                .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
+                .agg(F.sum("w").alias("m"), F.count(F.lit(1)).alias("deg"))
                 .select(
                     F.col("dst").alias("node"),
                     (
                         F.lit(teleport)
                         + F.lit(damping) * F.coalesce("m", F.lit(0.0))
                     ).alias("r"),
+                    "deg",
                 )
             )
-        return ranks
+        return ranks.select("node", "r")
     nodes = cut(e.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     if n == 0:

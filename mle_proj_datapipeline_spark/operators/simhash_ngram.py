@@ -92,10 +92,18 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_hof(text_col: str, bits: int = SIMHASH_BITS) -> Column:
-    """Legacy JVM HOF fold (kept as the bit-identity reference for
-    tests): per token, a ``bits``-wide vote-accumulator array rebuild —
-    CodegenFallback, ~|tokens|·bits interpreted lambda dispatches plus
-    one array allocation per token per row."""
+    """The production fold (r13 re-adjudication): per token, a
+    ``bits``-wide vote-accumulator array rebuild — CodegenFallback,
+    ~|tokens|·bits interpreted lambda dispatches plus one array
+    allocation per token per row. Slower per-core than the NumPy
+    kernel in isolation, but under the driver's full-bench methodology
+    the Arrow boundary + Python-worker scheduling cost MORE at sf0.1
+    row counts: the r12 driver read 1.2 → 2.1 s for the kernel, and
+    the r13 alternated 3-pair full-bench A/B (environment-normalized
+    by a per-run 68-query index) confirmed HOF ≈6% faster — HOF
+    {1.34, 1.36, 1.43} vs kernel {1.40, 1.44, 1.50} normalized
+    seconds. JVM-only also keeps the fingerprint path free of the
+    Python boundary at cluster scale (guide §4.1)."""
     votes = (
         "aggregate("
         f"transform(split({text_col}, ' '), t -> cast(conv(substring(md5(t),1,15),16,10) as bigint)), "
@@ -117,13 +125,21 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint over word-token hashes (with multiplicity):
     bit j = 1 iff Σ_tokens (±1 by bit j of H60(token)) > 0.
 
-    One md5 per token, hashed in the JVM (cross-engine H60 parity stays
-    pinned there); the per-bit vote fold is a vectorized NumPy kernel
-    behind a pandas_udf (guide §4.2) — the old HOF fold was
-    CodegenFallback and paid |tokens|·bits interpreted lambda steps plus
-    a fresh 60-element vote array per token per row. Bit-identical by
-    construction: integer shifts/adds only; NULL text folds to 0L, same
-    as the old IF(NULL > 0, …, 0) arm. Takes a column NAME."""
+    Delegates to the JVM HOF fold — the r12 NumPy-kernel variant
+    (kept below as ``_simhash_numpy``, bit-identical, pinned by test)
+    was REVERTED in r13: the driver read it 1.2 → 2.1 s and the r13
+    alternated full-bench A/B confirmed the loss under driver
+    methodology (see ``_simhash_hof``). Takes a column NAME."""
+    return _simhash_hof(text_col, bits)
+
+
+def _simhash_numpy(text_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """r12 vectorized vote fold (NumPy behind a pandas_udf, guide
+    §4.2): md5 token hashing stays in the JVM (cross-engine H60
+    parity), votes fold in NumPy. Bit-identical to ``_simhash_hof``
+    (integer shifts/adds only; NULL text folds to 0L, same as the
+    IF(NULL > 0, …, 0) arm) — retained as the measured-and-rejected
+    reference (OPTIMIZATION_r13.md §simhash), not on any query path."""
 
     @F.pandas_udf("long")
     def _fp(hs: pd.Series) -> pd.Series:
@@ -133,7 +149,7 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
         out = np.zeros(len(hs), dtype=np.int64)
         for i, v in enumerate(hs.values):
             if v is None or len(v) == 0:
-                continue  # 0L: the old IF(NULL > 0)/empty-fold arm
+                continue  # 0L: the IF(NULL > 0)/empty-fold arm
             x = np.asarray(v, dtype=np.int64)[:, None]
             votes = (2 * ((x >> j[None, :]) & np.int64(1)) - 1).sum(axis=0)
             out[i] = ((votes > 0).astype(np.int64) << j).sum()

@@ -290,7 +290,20 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("ck")
         )
-        .agg(F.sum(F.size(F.split("text", " "))).alias("bt"))
+        # size() null-handling made explicit (ADVICE r12): under
+        # ANSI mode (the 4.x default) size(NULL) is NULL and sum()
+        # skips it — identical to the old explode contributing no row —
+        # but with spark.sql.ansi.enabled=false size(NULL) returns -1
+        # and every null-text doc would silently deflate the bucket
+        # total. The when() pins the invariant instead of inheriting
+        # it from session config.
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("text").isNotNull(), F.size(F.split("text", " "))
+                ).otherwise(F.lit(0))
+            ).alias("bt")
+        )
     )
     voc_part = (
         first_seen.select(

@@ -376,22 +376,41 @@ def ensure_cooccurrence_edges(
     return read_snapshot(spark, root)
 
 
-@register("supplier_pagerank_served", oracle=_pagerank_oracle())
-def supplier_pagerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank served from the PERSISTED co-occurrence edge snapshot
-    (ensure_cooccurrence_edges): steady state never touches lineitem —
-    the power iteration runs directly over the committed (src, dst)
-    relation. Same oracle as ``supplier_pagerank``, because the edge
-    snapshot is exactly the relation the build path constructs;
-    ``supplier_pagerank`` stays registered as the build-path
-    measurement (the discipline of bigram_lm_scores_served /
-    ann_lsh_indexed_top1). validate=False: both orientations are
-    persisted, so the graph is symmetric by construction."""
-    from mle_proj_datapipeline_spark.operators.graph import pagerank
+def ensure_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-pinned RANK snapshot: the power iteration is the
+    train step of this serve pair, so its output — the |V|-row rank
+    vector, the artifact a ranking service ships — is committed once
+    per (corpus fingerprint, cap, iterations, damping) and steady
+    state is one manifest read + a |V|-row parquet scan (r13, VERDICT
+    r12 item 6: the serve path was re-running all five iterations per
+    invocation, ~3 s warm for an artifact that never changes between
+    corpus versions). Same pinning discipline as the LSH/IVF indexes
+    and the bigram count state; any input or hyper-parameter change
+    misses the fingerprint and retrains through the edge snapshot."""
+    import os
 
+    from mle_proj_datapipeline_spark.operators.graph import pagerank
+    from mle_proj_datapipeline_spark.sources.catalog import source_fingerprint
+    from mle_proj_datapipeline_spark.sources.metrics import warehouse_root
+    from mle_proj_datapipeline_spark.sources.snapshots import (
+        expire,
+        history,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    root = os.path.join(warehouse_root(), f"pagerank_supp_{tag}")
+    want = (
+        f"{source_fingerprint(sf_dir, 'lineitem')}|cap={MAX_COOCCUR_SET}"
+        f"|it={_PR_ITERS}|d={_PR_DAMPING}"
+    )
+    snaps = history(spark, root)
+    if snaps and (snaps[-1].get("meta") or {}).get("source") == want:
+        return read_snapshot(spark, root)
     edges = ensure_cooccurrence_edges(spark, sf_dir, "l_suppkey", "cooccur_supp")
     # symmetric (both orientations persisted) + distinct by construction
-    # (the snapshot aggregates on (src, dst)): the serve path skips the
+    # (the snapshot aggregates on (src, dst)): the train pass skips the
     # defensive |E| dedup shuffle and the per-round node-frame join (r12).
     ranks = pagerank(
         edges,
@@ -401,6 +420,24 @@ def supplier_pagerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         symmetric=True,
         assume_distinct=True,
     )
+    write_snapshot(ranks, root, mode="overwrite", meta={"source": want})
+    expire(spark, root, keep_last=2)
+    return read_snapshot(spark, root)
+
+
+@register("supplier_pagerank_served", oracle=_pagerank_oracle())
+def supplier_pagerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank served from the PERSISTED rank snapshot
+    (ensure_pagerank_ranks): training — the edge build and the five
+    power-iteration rounds — happens once per corpus fingerprint
+    behind the snapshot layer's atomic commit; steady state never
+    touches lineitem OR the edge list. Same oracle as
+    ``supplier_pagerank``, because the committed rank vector is
+    exactly what the build path computes (full precision persisted,
+    rounding applied at serve time); ``supplier_pagerank`` stays
+    registered as the build-path measurement (the discipline of
+    bigram_lm_scores_served / ann_lsh_indexed_top1)."""
+    ranks = ensure_pagerank_ranks(spark, sf_dir)
     return ranks.select(
         F.col("node").alias("s_suppkey"), F.round("r", 6).alias("pr")
     )

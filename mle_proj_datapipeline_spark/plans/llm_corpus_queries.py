@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mle_proj_datapipeline_spark.operators import hashing as dd
 from mle_proj_datapipeline_spark.plans.llm_common import _SH, _h31
 from mle_proj_datapipeline_spark.plans.registry import register
+from mle_proj_datapipeline_spark.session import ensure_parallelism
 from mle_proj_datapipeline_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
@@ -222,7 +223,13 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mle_proj_datapipeline_spark.sources.snapshots import materialize_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    # The shingle explode (split + 3-gram transform + array_distinct
+    # per doc) runs in the SCAN stage, upstream of the DF-cap window's
+    # exchange — a single-file local corpus pins it to one core (the
+    # driver's 8-vs-32-core ratio read 1.00, i.e. fully serial).
+    # Round-robin the raw (id, text) rows first; no-op at cluster
+    # scale where the scan already arrives partitioned (guide §2.6).
+    sh = ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(dd.word_shingles(F.col("text"), 3)).alias("s")
     )
     # DF cap as a count-over-window on the shingle key: the (doc, s)

@@ -306,3 +306,39 @@ def test_cooccurrence_edge_snapshot_builds_once_per_fingerprint(
             os.remove(crc)
     GQ.ensure_cooccurrence_edges(spark, sf, "l_suppkey", "cooccur_supp")
     assert len(calls) == 2
+
+
+def test_pagerank_rank_snapshot_trains_once_and_serves_identical(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r13 (VERDICT r12 item 6): ``supplier_pagerank_served`` serves the
+    committed RANK snapshot — the power iteration runs once per
+    (corpus fingerprint, cap, iters, damping); a second invocation is a
+    pure snapshot read (no retrain), and served values equal the
+    build path's at the output grid."""
+    from mle_proj_datapipeline_spark.operators import graph as G
+    from mle_proj_datapipeline_spark.plans import graph_queries as GQ
+    from mle_proj_datapipeline_spark.plans.registry import QUERIES
+
+    wh = str(tmp_path_factory.mktemp("ranks_wh"))
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", wh)
+    sf = "/root/testdata/sf0.001"
+
+    calls = []
+    real = G.pagerank
+
+    def counting(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(G, "pagerank", counting)
+
+    GQ.ensure_pagerank_ranks(spark, sf)
+    assert len(calls) == 1
+    served = QUERIES["supplier_pagerank_served"](spark, sf)
+    got = sorted((r["s_suppkey"], r["pr"]) for r in served.collect())
+    assert len(calls) == 1  # steady state: no retrain, no iteration
+
+    build = QUERIES["supplier_pagerank"](spark, sf)
+    want = sorted((r["s_suppkey"], r["pr"]) for r in build.collect())
+    assert got == want and got

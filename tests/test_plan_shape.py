@@ -432,10 +432,21 @@ def test_target_encode_no_row_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "o_orderkey" not in line, f"row stream shuffled:\n{plan}"
-    # any Window node must consume the category frame, not order rows
-    for block in re.split(r"\n\(\d+\) ", plan):
-        if block.startswith("Window"):
-            assert "o_orderkey" not in block, f"window over row stream:\n{plan}"
+    # an unpartitioned window over the row stream would plan an
+    # Exchange SinglePartition — never acceptable on row-stream
+    # cardinality (ADVICE r12: the o_orderkey grep alone is blind to a
+    # projected/renamed row stream)
+    assert "Exchange SinglePartition" not in plan, plan
+    # any Window node must consume the category frame, not order rows —
+    # and the r12 plan is EXPECTED to carry the prior's whole-frame
+    # window, so an empty scan here means the block parse went vacuous
+    # (ADVICE r12), not that the plan got leaner.
+    windows = [
+        b for b in re.split(r"\n\(\d+\) ", plan) if b.startswith("Window")
+    ]
+    assert windows, f"expected the prior's Window block, parse vacuous?\n{plan}"
+    for block in windows:
+        assert "o_orderkey" not in block, f"window over row stream:\n{plan}"
 
 
 def test_feature_hashing_single_aggregation_shuffle(spark):
@@ -616,17 +627,25 @@ def test_pagerank_symmetric_arm_identical_and_leaner(spark):
     )
     assert {r["node"]: r["r"] for r in sym.collect()} == base
 
-    plan = sym._jdf.queryExecution().executedPlan().toString()
+    # Plan inspection on a FRESH (un-executed) build: the INITIAL
+    # adaptive plan prints the whole 3-round lineage, whereas after
+    # execution AQE elides materialized stages and hides earlier
+    # rounds' joins.
+    sym_p = pagerank(
+        edges, iterations=3, validate=False, symmetric=True,
+        checkpointer=lambda df: df,
+    )
+    plan = sym_p._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     # the teleport left-join is gone entirely...
     assert "LeftOuter" not in plan
-    # ...and the unrolled plan carries strictly fewer joins than the
-    # default arm (2/round: deg-in-ed + ranks, vs 3/round with the
-    # nodes re-join).
+    # ...and (r13) so is the pre-loop degree join onto the edges — deg
+    # rides the rank frame, so the unrolled plan carries EXACTLY one
+    # join per round (edges x broadcast ranks) and nothing else.
+    assert plan.count("BroadcastHashJoin") == 3, plan
     ref = pagerank(
         edges, iterations=3, validate=False, checkpointer=lambda df: df
     )
-    ref.collect()  # materialize so both plans print in the same (final) form
     ref_plan = ref._jdf.queryExecution().executedPlan().toString()
     assert "LeftOuter" in ref_plan  # the join the symmetric arm removes
     assert plan.count("BroadcastHashJoin") < ref_plan.count("BroadcastHashJoin")
