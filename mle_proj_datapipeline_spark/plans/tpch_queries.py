@@ -676,7 +676,14 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the supplier filter before the fact aggregate joins
     it, so the only full shuffle is the (part, supplier) aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    # floor-shift, mirroring the oracle (6dp half-grid fix, round 10)
+    # floor-shift, mirroring the oracle (6dp half-grid fix, round 10).
+    # Domain note (ADVICE r11, deferred to r13): floor(x*1e6 + 0.5)/1e6
+    # is HALF_UP only for x >= 0 — for negative x it rounds half-values
+    # toward +inf (floor(-0.5+0.5)=0, where HALF_UP gives -1). Unit
+    # prices are positive by the data contract (l_extendedprice,
+    # l_quantity > 0 per TPC-H), so the idiom is exact here; do NOT
+    # copy it onto signed measures (acctbal, deltas) without an abs/
+    # sign split.
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
         (
             F.floor(
